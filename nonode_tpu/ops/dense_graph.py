@@ -1,0 +1,224 @@
+"""Dense pairwise graph ops — the TPU-native formulation of the reference's
+sparse edge-list message passing.
+
+The reference (EGNO/model/basic.py:6-31, SEGNO/models/models/gcl.py:7-23)
+builds an explicit O(N^2) edge list over the complete graph and uses
+scatter_add / dense one-hot matmuls to aggregate. On TPU, for the fully
+connected graphs used throughout (N <= 20 in the standard configs), the
+idiomatic equivalent is dense ``[..., N, N, .]`` tensors with an off-diagonal
+mask:
+
+- ``aggregate(aggr='mean')`` with every edge present == masked mean over the
+  j axis with count N-1 (the reference clamps count at 1; identical here).
+- ``aggregate(aggr='sum')`` / ``unsorted_segment_sum`` == masked sum over j.
+- ``unsorted_segment_mean``'s row-normalized one-hot matmul
+  (SEGNO/models/models/gcl.py:16-23) == the same masked mean.
+
+Edge (i, j) carries the message received by node i from node j, matching the
+reference's row=receiver convention (EGNO/model/basic.py:174,182).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import MLP, Linear, Params, xavier_uniform_init
+
+
+def offdiag_mask(n: int, dtype=jnp.float32):
+    """[N, N] mask that zeroes self-edges (the diagonal)."""
+    return 1.0 - jnp.eye(n, dtype=dtype)
+
+
+def pairwise_diff(x):
+    """x: [..., N, D] -> r[..., i, j, :] = x_i - x_j."""
+    return x[..., :, None, :] - x[..., None, :, :]
+
+
+def masked_sum_j(m, mask):
+    """m: [..., N, N, K]; mask: [N, N]. Sum over j with self-edges masked."""
+    return (m * mask[..., None]).sum(axis=-2)
+
+
+def masked_mean_j(m, mask):
+    """Mean over j != i; divisor matches the reference's count.clamp(min=1)."""
+    n = m.shape[-2]
+    return masked_sum_j(m, mask) / max(n - 1, 1)
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    """torch F.normalize(p=2): x / max(||x||, eps)."""
+    norm = jnp.sqrt((x * x).sum(axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class EGNNLayer:
+    """Dense EGNN layer.
+
+    Mirrors EGNN_Layer (EGNO/model/basic.py:147-186): edge message from an
+    InvariantScalarNet over [||r_ij||^2 (the 1-vector Gram matrix), h_i, h_j,
+    edge_fea]; per-edge scalar coordinate weight; mean-aggregated force
+    clamped to +-100; optional velocity gate ``x += node_v_net(h) * v``;
+    node update from [h, sum_j message].
+    """
+
+    hidden_nf: int
+    in_edge_nf: int
+    act: callable = jax.nn.silu
+    with_v: bool = False
+    flat: bool = False
+    norm: bool = False
+    h_update: bool = True
+
+    @property
+    def edge_net(self) -> MLP:
+        # InvariantScalarNet(n_vector_input=1, n_scalar_input=2H+E):
+        # input = 1*1 Gram scalar + scalars (basic.py:107-144).
+        return MLP(1 + 2 * self.hidden_nf + self.in_edge_nf, self.hidden_nf,
+                   self.hidden_nf, self.act, last_act=True, flat=self.flat)
+
+    @property
+    def coord_net(self) -> MLP:
+        return MLP(self.hidden_nf, self.hidden_nf, 1, self.act, flat=self.flat)
+
+    @property
+    def node_v_net(self) -> MLP:
+        return MLP(self.hidden_nf, self.hidden_nf, 1, self.act, flat=self.flat)
+
+    @property
+    def node_net(self) -> MLP:
+        return MLP(2 * self.hidden_nf, self.hidden_nf, self.hidden_nf,
+                   self.act, flat=self.flat)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 4)
+        p = {
+            "edge_net": self.edge_net.init(ks[0]),
+            "coord_net": self.coord_net.init(ks[1]),
+        }
+        if self.with_v:
+            p["node_v_net"] = self.node_v_net.init(ks[2])
+        if self.h_update:
+            p["node_net"] = self.node_net.init(ks[3])
+        return p
+
+    def __call__(self, p: Params, x, h, edge_fea, v=None):
+        """x: [..., N, 3]; h: [..., N, H]; edge_fea: [..., N, N, E]."""
+        n = x.shape[-2]
+        mask = offdiag_mask(n, x.dtype)
+
+        rij = pairwise_diff(x)                                # [..., N, N, 3]
+        r2 = (rij * rij).sum(axis=-1, keepdims=True)          # [..., N, N, 1]
+        gram = _l2_normalize(r2) if self.norm else r2
+        hi = jnp.broadcast_to(h[..., :, None, :], (*r2.shape[:-1], h.shape[-1]))
+        hj = jnp.broadcast_to(h[..., None, :, :], (*r2.shape[:-1], h.shape[-1]))
+        feat = jnp.concatenate([gram, hi, hj, edge_fea], axis=-1)
+
+        message = self.edge_net(p["edge_net"], feat)          # [..., N, N, H]
+        coord_w = self.coord_net(p["coord_net"], message)     # [..., N, N, 1]
+        f = rij * coord_w
+        tot_f = masked_mean_j(f, mask)                        # [..., N, 3]
+        tot_f = jnp.clip(tot_f, -100.0, 100.0)
+
+        if v is not None:
+            x = x + self.node_v_net(p["node_v_net"], h) * v + tot_f
+        else:
+            x = x + tot_f
+
+        tot_message = masked_sum_j(message, mask)             # [..., N, H]
+        if self.h_update:
+            h = self.node_net(p["node_net"],
+                              jnp.concatenate([h, tot_message], axis=-1))
+        return x, v, h
+
+
+@dataclasses.dataclass(frozen=True)
+class SEGNOGCL:
+    """Dense second-order equivariant GCL.
+
+    Mirrors SEGNO_GCL (SEGNO/models/models/gcl.py:26-119): edge MLP on
+    [h_i, h_j, ||r_ij||^2, edge_attr]; coord MLP -> per-edge scalar * r_ij,
+    clamped +-100, mean-aggregated; second-order update
+    ``v += agg / n_steps; x += v / n_steps``; residual node MLP on
+    [h, sum_j edge_feat].
+
+    The live reference path (SEGNO/models/model.py:95-102) always sets
+    n_layers := T before integrating, so the step factor is 1/T here and the
+    integration loop lives in the model (lax.scan), not the layer.
+    """
+
+    hidden_nf: int
+    in_edge_nf: int = 0
+    act: callable = jax.nn.silu
+    recurrent: bool = True
+    coords_weight: float = 1.0
+    tanh: bool = False
+
+    @property
+    def edge_mlp(self) -> MLP:
+        # nn.Sequential(Linear, act, Linear, act) — both layers activated.
+        return MLP(2 * self.hidden_nf + 1 + self.in_edge_nf, self.hidden_nf,
+                   self.hidden_nf, self.act, last_act=True)
+
+    @property
+    def node_mlp(self) -> MLP:
+        return MLP(2 * self.hidden_nf, self.hidden_nf, self.hidden_nf, self.act)
+
+    @property
+    def coord_mlp_l1(self) -> Linear:
+        return Linear(self.hidden_nf, self.hidden_nf)
+
+    @property
+    def coord_mlp_l2(self) -> Linear:
+        return Linear(self.hidden_nf, 1)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 5)
+        l2 = self.coord_mlp_l2.init(ks[3])
+        # reference: xavier_uniform_(gain=0.001) on the final coord layer
+        # (gcl.py:50-51); bias keeps the default Linear init.
+        l2["w"] = xavier_uniform_init(ks[4], (1, self.hidden_nf), gain=0.001)
+        p = {
+            "edge_mlp": self.edge_mlp.init(ks[0]),
+            "node_mlp": self.node_mlp.init(ks[1]),
+            "coord_mlp_l1": self.coord_mlp_l1.init(ks[2]),
+            "coord_mlp_l2": l2,
+        }
+        if self.tanh:
+            p["coords_range"] = jnp.ones((1,)) * 3.0
+        return p
+
+    def _coord_mlp(self, p: Params, e):
+        y = self.act(self.coord_mlp_l1(p["coord_mlp_l1"], e))
+        y = self.coord_mlp_l2(p["coord_mlp_l2"], y)
+        if self.tanh:
+            y = jnp.tanh(y) * p["coords_range"]
+        return y
+
+    def __call__(self, p: Params, h, x, v, edge_attr, inv_steps: float):
+        """One integrator step. inv_steps = 1/T (reference 1/n_layers)."""
+        n = x.shape[-2]
+        mask = offdiag_mask(n, x.dtype)
+
+        rij = pairwise_diff(x)
+        radial = (rij * rij).sum(axis=-1, keepdims=True)
+        hi = jnp.broadcast_to(h[..., :, None, :], (*radial.shape[:-1], h.shape[-1]))
+        hj = jnp.broadcast_to(h[..., None, :, :], (*radial.shape[:-1], h.shape[-1]))
+        feat = jnp.concatenate([hi, hj, radial, edge_attr], axis=-1)
+        edge_feat = self.edge_mlp(p["edge_mlp"], feat)        # [..., N, N, H]
+
+        trans = rij * self._coord_mlp(p, edge_feat)
+        trans = jnp.clip(trans, -100.0, 100.0)
+        agg = masked_mean_j(trans, mask) * self.coords_weight
+
+        v = v + agg * inv_steps
+        x = x + v * inv_steps
+
+        msg = masked_sum_j(edge_feat, mask)
+        out = self.node_mlp(p["node_mlp"], jnp.concatenate([h, msg], axis=-1))
+        h = h + out if self.recurrent else out
+        return h, x, v
