@@ -1,12 +1,22 @@
 """SEGNO — Second-order Equivariant Graph Neural ODE, dense TPU formulation.
 
-Behavioral parity with the *live* SEGNO forward (SEGNO/models/model.py:53-92;
-the first definition at :28-51 is shadowed and dead): one shared SEGNO_GCL
-applied T times as a weight-tied second-order integrator with step 1/T
-(forward_step sets n_layers := T, model.py:95-102, so the configured
-n_layers only matters as a default). Multi-input snapshots are integrated
-segment-by-segment and fused with the next observation by sum or invariant
-temporal attention (model.py:78-91).
+One shared SEGNO_GCL applied T times as a weight-tied second-order integrator
+with step 1/T (forward_step sets n_layers := T, SEGNO/models/model.py:95-102,
+so the configured n_layers only matters as a default). Multi-input snapshots
+are integrated segment-by-segment and fused with the next observation by sum
+or invariant temporal attention (model.py:78-91).
+
+DOCUMENTED DIVERGENCE from the reference snapshot: the live reference forward
+(model.py:53-92; the first definition at :28-51 is shadowed) has a regression
+— the result of the *last* integration segment (``xi, hi, vi``) is only
+assigned back inside the ``i < len(steps) - 1`` fusion branch, so the
+single-input path returns its inputs unchanged (an identity model) and the
+multi-input path drops the final T-step integration. That cannot be the
+intended semantics (it makes the model untrainable); the dead first forward
+and ``forward_step`` define the intended behavior, which is what this class
+implements: integrate every segment, fuse between observations, and return
+the final integrated state. tests/test_parity_torch.py pins both the
+divergence and the parity against the intended reference semantics.
 
 TPU formulation: the weight-tied loop is a ``lax.scan`` over the dense GCL.
 """
