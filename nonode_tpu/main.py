@@ -1,0 +1,228 @@
+"""Unified experiment driver — parity with the reference's main.py.
+
+``python -m nonode_tpu.main --model {segno,egno} --dataset {charged,gravity} ...``
+
+Flow (main.py:68-201): seed everything, build datasets + model from
+model_confs.yaml, Adam with per-model lr/wd, train with periodic validation +
+EarlyStopping(patience=15), reload the best checkpoint, rollout test, write a
+results JSON and a trajectory artifact
+{targets, preds, energy_conservation, test_loss}.
+
+TPU-first: datasets live on device, epochs are single jitted scans, rollout +
+energy oracle stay on device. The artifact is written as ``.npz`` (the
+reference uses a torch_geometric Data pickle; same schema, README.md:38-41).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import random
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .config import load_model_config
+from .data.nbody import NBodyDataset
+from .models.egno import EGNO
+from .models.segno import SEGNO
+from .train.checkpoint import EarlyStopping, load_params, save_params
+from .train.loop import EGNOExperiment, SEGNOExperiment, make_perm
+
+
+def str2bool(value):
+    if isinstance(value, bool):
+        return value
+    if value.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if value.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise ValueError(f"Invalid boolean value: {value}")
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Main module for SEGNO and EGNO")
+    parser.add_argument("--model", type=str, choices=["segno", "egno"],
+                        required=True)
+    parser.add_argument("--exp_name", type=str, default="0exp_new")
+    parser.add_argument("--config", type=str, default="model_confs.yaml")
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--data_dir", type=Path, default="data")
+    parser.add_argument("--dataset", type=str, default="charged",
+                        choices=["charged", "gravity"])
+    parser.add_argument("--max_samples", type=int, default=3000)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--only_test", type=str2bool, default=False)
+    parser.add_argument("--traj_len", type=int, default=20)
+    parser.add_argument("--test_interval", type=int, default=5)
+    parser.add_argument("--n_balls", type=int, default=5)
+    parser.add_argument("--outf", type=Path, default="results")
+    parser.add_argument("--load_checkpoint", type=str2bool, default=False)
+    parser.add_argument("--scale_lr", type=float, default=None)
+    parser.add_argument("--dT", type=int, default=1)
+    parser.add_argument("--num_timesteps", type=int, default=None)
+    parser.add_argument("--varDT", type=str2bool, default=False)
+    parser.add_argument("--num_inputs", type=int, default=1)
+    parser.add_argument("--use_wb", type=str2bool, default=False)
+    return parser.parse_args(argv)
+
+
+def main(args):
+    cfg = load_model_config(args.model, args.config)
+    print(args)
+    seed = args.seed
+    random.seed(seed)
+    np.random.seed(seed)
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+
+    if args.num_timesteps is None:
+        args.num_timesteps = cfg.num_timesteps
+    cfg = dataclasses.replace(cfg, num_timesteps=args.num_timesteps)
+    if args.scale_lr:
+        cfg = dataclasses.replace(cfg, lr=cfg.lr * args.scale_lr)
+
+    model_save_path = (args.outf / args.exp_name /
+                       (f"{args.model.upper()}_{args.dataset}_seed={seed}"
+                        f"_n_part={args.n_balls}_n_inputs={args.num_inputs}"
+                        f"_dT_{args.dT}_varDT={args.varDT}"
+                        f"_num_timesteps={args.num_timesteps}.ckpt"))
+    model_save_path.parent.mkdir(parents=True, exist_ok=True)
+    print(f"Model saved to {model_save_path}")
+    early_stopping = EarlyStopping(patience=15, verbose=True,
+                                   path=model_save_path)
+
+    results = {"eval epoch": [], "val loss": [], "test loss": [],
+               "train loss": []}
+    best_val_loss = 1e8
+    best_epoch = 0
+
+    ds_kw = dict(data_dir=args.data_dir, dataset=args.dataset,
+                 n_balls=args.n_balls, num_timesteps=args.num_timesteps)
+
+    if args.model == "segno":
+        ds_train = NBodyDataset(partition="train", max_samples=args.max_samples,
+                                num_inputs=args.num_inputs, **ds_kw)
+        ds_val = NBodyDataset(partition="val", num_inputs=args.num_inputs, **ds_kw)
+        ds_test = NBodyDataset(partition="test", num_inputs=args.num_inputs,
+                               traj_len=args.traj_len, **ds_kw)
+        model = SEGNO(in_node_nf=cfg.in_node_nf, in_edge_nf=cfg.in_edge_nf,
+                      hidden_nf=cfg.hidden_nf, n_layers=cfg.n_layers,
+                      recurrent=cfg.recurrent, tanh=cfg.tanh, varDT=args.varDT,
+                      multiple_agg="attn" if args.num_inputs > 1 else None)
+        exp = SEGNOExperiment(model, num_timesteps=args.num_timesteps,
+                              lr=cfg.lr, weight_decay=cfg.weight_decay)
+    else:
+        # EGNO forces varDT off for single input (main.py:121)
+        args.varDT = bool(args.varDT and args.num_inputs > 1)
+        ds_train = NBodyDataset(partition="train", max_samples=args.max_samples,
+                                num_inputs=args.num_inputs, varDT=args.varDT,
+                                dT=args.dT, **ds_kw)
+        ds_val = NBodyDataset(partition="val", num_inputs=args.num_inputs,
+                              varDT=args.varDT, dT=args.dT, **ds_kw)
+        ds_test = NBodyDataset(partition="test", num_inputs=args.num_inputs,
+                               traj_len=args.traj_len, varDT=args.varDT,
+                               dT=args.dT, **ds_kw)
+        model = EGNO(n_layers=cfg.n_layers, in_node_nf=cfg.in_node_nf,
+                     in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
+                     num_modes=cfg.num_modes, num_timesteps=args.num_timesteps,
+                     time_emb_dim=cfg.time_emb_dim, num_inputs=args.num_inputs,
+                     varDT=args.varDT, with_v=cfg.with_v, flat=cfg.flat,
+                     norm=cfg.norm)
+        exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay)
+
+    print(f"Num particles: {args.n_balls}, VarDT: {args.varDT}, "
+          f"Num inputs: {args.num_inputs}, "
+          f"Num timesteps: {args.num_timesteps}, dT: {args.dT}")
+
+    params, opt_state = exp.init(key)
+    if args.load_checkpoint and Path(model_save_path).exists():
+        print(f"Loading model from {model_save_path}")
+        params = load_params(model_save_path, params)
+    else:
+        print("Training from scratch.")
+
+    def run_train_epoch(params, opt_state, ds, train=True):
+        perm = make_perm(rng, len(ds), args.batch_size, shuffle=train)
+        if args.model == "egno":
+            arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+            idx_arrays = {k: jax.numpy.asarray(v) for k, v in
+                          exp.epoch_index_arrays(ds, rng).items()}
+            if train:
+                params, opt_state, losses, last = exp.train_epoch(
+                    params, opt_state, arrays, idx_arrays, perm)
+            else:
+                losses, last = exp.eval_epoch(params, arrays, idx_arrays, perm)
+            # reference reports the last-timestep loss as the epoch loss
+            return params, opt_state, float(np.mean(np.asarray(last)))
+        else:
+            arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+            steps = exp.sample_steps(ds, rng, args.varDT)
+            frames, in_steps, _ = exp.input_frames(ds, steps)
+            if train:
+                params, opt_state, losses = exp.train_epoch(
+                    params, opt_state, arrays, perm, frames, in_steps)
+            else:
+                losses = exp.eval_epoch(params, arrays, perm, frames, in_steps)
+            return params, opt_state, float(np.mean(np.asarray(losses)))
+
+    epoch = 0
+    t_start = time.time()
+    if not args.only_test:
+        for epoch in range(args.epochs):
+            params, opt_state, train_loss = run_train_epoch(
+                params, opt_state, ds_train, train=True)
+            results["train loss"].append(train_loss)
+            print(f"train epoch {epoch} avg loss: {train_loss:.5f}")
+            if (epoch % args.test_interval == 0 or epoch == args.epochs - 1) \
+                    and epoch > 0:
+                _, _, val_loss = run_train_epoch(params, opt_state, ds_val,
+                                                 train=False)
+                print(f"==> val epoch {epoch} avg loss: {val_loss:.5f}")
+                results["eval epoch"].append(epoch)
+                results["val loss"].append(val_loss)
+                if val_loss < best_val_loss:
+                    best_val_loss = val_loss
+                    best_epoch = epoch
+                print("*** Best Val Loss: %.5f \t  Best epoch %d"
+                      % (best_val_loss, best_epoch))
+                early_stopping(val_loss, params)
+                if early_stopping.early_stop:
+                    print("Early Stopping.")
+                    break
+        print(f"training wall-clock: {time.time() - t_start:.1f}s")
+
+    if Path(model_save_path).exists():
+        params = load_params(model_save_path, params)
+
+    if args.model == "egno":
+        test_loss, avg_num_steps, artifact = exp.test_rollout(
+            params, ds_test, args.batch_size, rng)
+    else:
+        test_loss, avg_num_steps, artifact = exp.test_rollout(
+            params, ds_test, args.batch_size, rng, args.traj_len, args.varDT)
+    print(f"==> test rollout loss: {test_loss:.5f} "
+          f"avg_num_steps: {avg_num_steps:.2f}")
+    results["test loss"].append(test_loss)
+
+    with open(model_save_path.with_suffix(".json"), "w") as f:
+        f.write(json.dumps(results, indent=4))
+
+    if args.traj_len > 0:
+        traj_file = model_save_path.parent / f"{model_save_path.stem}_results.npz"
+        np.savez(traj_file, **artifact)
+        print(f"trajectory artifact saved to {traj_file}")
+
+    return best_val_loss, test_loss, best_epoch
+
+
+if __name__ == "__main__":
+    a = get_args()
+    best_val_loss, test_loss, best_epoch = main(a)
+    print(f"Best Val Loss: {best_val_loss}")
+    print(f"Best Epoch: {best_epoch}")
+    print(f"Test Loss: {test_loss}")

@@ -1,0 +1,439 @@
+"""Training/eval/rollout loops for EGNO and SEGNO — TPU-first.
+
+Behavioral parity targets:
+- EGNO run_epoch / prepare_inputs / rollout_fn
+  (EGNO/main_simulation_simple_no.py:190-384)
+- SEGNO run_epoch / rollout_fn (SEGNO/train_nbody.py:57-236)
+
+TPU-first design differences (not behavior):
+- The dataset lives on device; a batch is a device-side gather by sample
+  index. There is no DataLoader, collate, or per-batch ``.to(device)``.
+- A whole epoch runs as ONE jitted ``lax.scan`` over batches — one dispatch
+  per epoch instead of one per batch.
+- Rollout keeps the energy oracle on device (the reference syncs to host
+  NumPy every decoded step, utils.py:197-219).
+- Optimizer: optax.chain(add_decayed_weights, adam) == torch.optim.Adam with
+  weight_decay (L2-into-gradient, not AdamW).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.nbody import NBodyDataset
+from ..models.egno import EGNO
+from ..models.segno import SEGNO
+from .metrics import conserved_energy, pearson_correlation_batch
+
+
+def adam_l2(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay): wd*p added to the gradient before
+    the moment updates."""
+    return optax.chain(optax.add_decayed_weights(weight_decay),
+                       optax.adam(lr))
+
+
+def prepare_inputs(loc, vel, edge_w, charges=None):
+    """Feature construction (main_simulation_simple_no.py:311-339).
+
+    loc, vel: [..., N, 3]; edge_w: [..., N, N, 1]; charges: [B, N, 1] or None.
+    Returns (nodes [..., N, F], edge_attr [..., N, N, 2], loc_mean [..., N, 3]).
+    """
+    speed = jnp.sqrt((vel ** 2).sum(-1, keepdims=True))
+    if charges is not None:
+        q = jnp.broadcast_to(charges, speed.shape)
+        nodes = jnp.concatenate([speed, q], axis=-1)
+    else:
+        nodes = speed
+    diff = loc[..., :, None, :] - loc[..., None, :, :]
+    dist = (diff ** 2).sum(-1, keepdims=True)
+    edge_attr = jnp.concatenate([jnp.broadcast_to(edge_w, dist.shape), dist],
+                                axis=-1)
+    loc_mean = loc.mean(axis=-2, keepdims=True)
+    loc_mean = jnp.broadcast_to(loc_mean, loc.shape)
+    return nodes, edge_attr, loc_mean
+
+
+def _gather_window(arr, idx, frames):
+    """arr: [S, F, ...]; idx: [B]; frames: [B, K] -> [B, K, ...]."""
+    return arr[idx[:, None], frames]
+
+
+@dataclasses.dataclass(eq=False)
+class EGNOExperiment:
+    """EGNO training/eval/rollout against a device-resident dataset."""
+
+    model: EGNO
+    lr: float = 1e-4
+    weight_decay: float = 1e-8
+
+    def __post_init__(self):
+        self.optimizer = adam_l2(self.lr, self.weight_decay)
+
+    def init(self, key):
+        params = self.model.init(key)
+        return params, self.optimizer.init(params)
+
+    # ---------- batch construction ----------
+
+    def epoch_index_arrays(self, ds: NBodyDataset, rng: np.random.RandomState):
+        """Host-side per-epoch index arrays (static shapes).
+
+        Returns dict of numpy arrays: frames_in [S, L], t_in [S, L],
+        out_frames [S, T'], t_out [S, T'].
+        """
+        s = len(ds)
+        if ds.num_inputs > 1:
+            frames_in, t_in = ds.sample_input_offsets(rng)
+        else:
+            frames_in = np.full((s, 1), ds.start, np.int32)
+            t_in = np.zeros((s, 1), np.float32)
+        base_out = ds.out_indices()
+        shift = frames_in[:, -1:] - ds.start
+        out_frames = base_out[None, :] + shift
+        # static-shape truncation: drop tail columns any sample would index
+        # past the trajectory end (reference truncates per sample,
+        # dataset_simple.py:156-158; with varDT this caps at the worst case)
+        valid = (out_frames < ds.n_frames).all(axis=0)
+        out_frames = out_frames[:, valid]
+        t_out = (out_frames - frames_in[:, -1:]).astype(np.float32)
+        return {"frames_in": frames_in.astype(np.int32), "t_in": t_in,
+                "out_frames": out_frames.astype(np.int32), "t_out": t_out}
+
+    def _batch(self, ds_arrays, idx_arrays, idx):
+        loc_all, vel_all, charges_all, w_all = ds_arrays
+        frames_in = idx_arrays["frames_in"][idx]      # [B, L]
+        loc_in = _gather_window(loc_all, idx, frames_in)   # [B, L, N, 3]
+        vel_in = _gather_window(vel_all, idx, frames_in)
+        charges = charges_all[idx]
+        w = w_all[idx]
+        loc_out = _gather_window(loc_all, idx, idx_arrays["out_frames"][idx])
+        t_in = idx_arrays["t_in"][idx]
+        t_out = idx_arrays["t_out"][idx]
+        return loc_in, vel_in, charges, w, loc_out, t_in, t_out
+
+    def _forward(self, params, loc_in, vel_in, charges, w, t_in, t_out):
+        multi = self.model.num_inputs > 1
+        if multi:
+            loc = jnp.swapaxes(loc_in, 0, 1)          # [L, B, N, 3]
+            vel = jnp.swapaxes(vel_in, 0, 1)
+            nodes, edge_attr, loc_mean = prepare_inputs(
+                loc, vel, w[None], charges[None])
+        else:
+            loc = loc_in[:, 0]
+            vel = vel_in[:, 0]
+            nodes, edge_attr, loc_mean = prepare_inputs(loc, vel, w, charges)
+        return self.model(params, loc, vel, nodes, edge_attr, loc_mean,
+                          timesteps_out=t_out, timesteps_in=t_in if multi else None)
+
+    def _loss(self, params, batch):
+        loc_in, vel_in, charges, w, loc_out, t_in, t_out = batch
+        t_model = self.model.num_timesteps
+        x, _, _ = self._forward(params, loc_in, vel_in, charges, w, t_in,
+                                t_out[:, :t_model])
+        pred = jnp.swapaxes(x, 0, 1)                  # [B, T, N, 3]
+        target = loc_out[:, :t_model]
+        losses = ((pred - target) ** 2).mean(axis=(0, 2, 3))  # [T]
+        # backprop target is the mean over timesteps; the reference reports
+        # the LAST-timestep loss as the epoch loss (main_simulation_simple_no.py:287)
+        return losses.mean(), losses
+
+    # ---------- jitted epoch programs ----------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_epoch(self, params, opt_state, ds_arrays, idx_arrays, perm):
+        """perm: [num_batches, B] sample indices. Returns new state + the
+        per-batch (mean_loss, last_step_loss)."""
+
+        def body(carry, idx):
+            params, opt_state = carry
+            batch = self._batch(ds_arrays, idx_arrays, idx)
+            (loss, losses), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, losses[-1])
+
+        (params, opt_state), (losses, last_losses) = jax.lax.scan(
+            body, (params, opt_state), perm)
+        return params, opt_state, losses, last_losses
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_epoch(self, params, ds_arrays, idx_arrays, perm):
+        def body(_, idx):
+            batch = self._batch(ds_arrays, idx_arrays, idx)
+            loss, losses = self._loss(params, batch)
+            return None, (loss, losses[-1])
+
+        _, (losses, last_losses) = jax.lax.scan(body, None, perm)
+        return losses, last_losses
+
+    # ---------- rollout ----------
+
+    def rollout(self, params, batch, traj_len: int, dataset_kind: str):
+        """Autoregressive windowed rollout (main_simulation_simple_no.py:342-384).
+
+        Feeds the decoded frames at the input-offset positions back as the
+        next window's inputs; evaluates the energy oracle per decoded frame
+        on device. Returns (locs_pred [traj_len*T, B, N, 3],
+        energies [traj_len*T, B, 1]).
+        """
+        loc_in, vel_in, charges, w, _, t_in, t_out_all = batch
+        t_model = self.model.num_timesteps
+        multi = self.model.num_inputs > 1
+        el, preds = [], []
+        loc, vel = loc_in, vel_in                     # [B, L, N, 3]
+        for i in range(traj_len):
+            t_out = t_out_all[:, i * t_model:(i + 1) * t_model] - i * t_model
+            x, v, _ = self._forward(params, loc, vel, charges, w, t_in, t_out)
+            preds.append(x)                           # [T, B, N, 3]
+            # feedback frames at timesteps_in - 1 (negative => from the end),
+            # per sample (main_simulation_simple_no.py:367-368)
+            fb = (t_in.astype(jnp.int32) - 1) % t_model    # [B, L]
+            take = jax.vmap(lambda xs, f: xs[f], in_axes=(1, 0))  # over B
+            loc = take(x, fb)                         # [B, L, N, 3]
+            vel = take(v, fb)
+            for j in range(t_model):
+                el.append(conserved_energy(dataset_kind, x[j], v[j], charges))
+        locs_pred = jnp.concatenate(preds, axis=0)    # [traj_len*T, B, N, 3]
+        energies = jnp.stack(el)[..., None]           # [traj_len*T, B, 1]
+        return locs_pred, energies
+
+    def test_rollout(self, params, ds: NBodyDataset, batch_size: int,
+                     rng: np.random.RandomState):
+        """Full test evaluation. Returns (test_loss, avg_num_steps, artifact).
+
+        artifact = {targets, preds, energy_conservation, test_loss} with the
+        reference shapes ([B_total, T, N, 3] / [B_total, Tcut, ., .]).
+        """
+        t_model = self.model.num_timesteps
+        idx_arrays = self.epoch_index_arrays(ds, rng)
+        avail = idx_arrays["out_frames"].shape[1]
+        traj_len = min(ds.traj_len, avail // t_model)
+        cut = int(0.4 * ds.traj_len * t_model)
+
+        ds_arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        idx_dev = {k: jnp.asarray(v) for k, v in idx_arrays.items()}
+
+        roll_fn = jax.jit(lambda p, b: self.rollout(p, b, traj_len, ds.dataset))
+
+        n = len(ds)
+        tot_loss = tot_steps = count = 0.0
+        targets_l, preds_l, energies_l = [], [], []
+        for s0 in range(0, n - batch_size + 1, batch_size):
+            idx = jnp.arange(s0, s0 + batch_size)
+            batch = self._batch(ds_arrays, idx_dev, idx)
+            locs_pred, energies = roll_fn(params, batch)
+            loc_true = batch[4]                       # [B, T', N, 3]
+            tcur = locs_pred.shape[0]
+            truth = jnp.swapaxes(loc_true, 0, 1)[:tcur]   # [T', B, N, 3]
+
+            b, nn = loc_true.shape[0], loc_true.shape[2]
+            corr, avg_steps, _ = pearson_correlation_batch(
+                locs_pred.reshape(tcur, -1, 3), truth.reshape(tcur, -1, 3), nn)
+
+            sup = min(cut, tcur)
+            losses = ((locs_pred[:sup] - truth[:sup]) ** 2).mean(axis=(1, 2, 3))
+            loss = losses.mean()
+
+            tot_loss += float(loss) * b
+            tot_steps += float(avg_steps) * b
+            count += b
+            targets_l.append(np.asarray(jnp.swapaxes(truth, 0, 1)))
+            preds_l.append(np.asarray(jnp.swapaxes(locs_pred[:sup], 0, 1)))
+            energies_l.append(np.asarray(jnp.swapaxes(energies[:sup], 0, 1)))
+
+        test_loss = tot_loss / count
+        artifact = {
+            "targets": np.concatenate(targets_l),
+            "preds": np.concatenate(preds_l),
+            "energy_conservation": np.concatenate(energies_l),
+            "test_loss": test_loss,
+        }
+        return test_loss, tot_steps / count, artifact
+
+
+@dataclasses.dataclass(eq=False)
+class SEGNOExperiment:
+    """SEGNO training/eval/rollout (SEGNO/train_nbody.py semantics)."""
+
+    model: SEGNO
+    num_timesteps: int = 10
+    lr: float = 5e-3
+    weight_decay: float = 1e-12
+
+    def __post_init__(self):
+        self.optimizer = adam_l2(self.lr, self.weight_decay)
+
+    def init(self, key):
+        params = self.model.init(key)
+        return params, self.optimizer.init(params)
+
+    def sample_steps(self, ds: NBodyDataset, rng: np.random.RandomState,
+                     varDT: bool):
+        """Per-epoch input segment lengths (train_nbody.py:97-108). Shared by
+        the whole epoch here (the reference resamples per batch with the same
+        distribution)."""
+        L, T = ds.num_inputs, self.num_timesteps
+        if L <= 1:
+            return None
+        if varDT:
+            steps = rng.randint(1, max(T // L, 2), size=L - 1).tolist()
+        else:
+            steps = [T // L] * (L - 1)
+        return tuple(steps)
+
+    def input_frames(self, ds: NBodyDataset, steps):
+        """Absolute input frames + in_steps offsets (train_nbody.py:103-114)."""
+        start = ds.start
+        if steps is None:
+            return (start,), None, start + self.num_timesteps
+        indices = np.flip(start - np.cumsum([0] + list(steps)))
+        if (indices < 0).any():
+            indices = indices - indices.min()
+            start = indices.min()
+        end = int(indices[-1]) + self.num_timesteps
+        in_steps = tuple(int(i - start) for i in indices)
+        return tuple(int(i) for i in indices), in_steps, end
+
+    def _forward(self, params, his, loc, vel, edge_attr, in_steps):
+        return self.model(params, his, loc, vel, edge_attr,
+                          T=self.num_timesteps, in_steps=in_steps)
+
+    def _features(self, loc, vel, charges, w):
+        """h = |v|; edge_attr = [q_i q_j, ||x_i - x_j||^2] using the LAST
+        input frame's positions for multi-input (train_nbody.py:115-123)."""
+        speed = jnp.sqrt((vel ** 2).sum(-1, keepdims=True))
+        loc_last = loc[-1] if loc.ndim == 4 else loc
+        diff = loc_last[..., :, None, :] - loc_last[..., None, :, :]
+        dist = (diff ** 2).sum(-1, keepdims=True)
+        edge_attr = jnp.concatenate(
+            [jnp.broadcast_to(w, dist.shape), dist], axis=-1)
+        return speed, edge_attr
+
+    def _loss(self, params, batch, in_steps):
+        loc_in, vel_in, charges, w, loc_end = batch
+        his, edge_attr = self._features(loc_in, vel_in, charges, w)
+        x, _, _ = self._forward(params, his, loc_in, vel_in, edge_attr, in_steps)
+        return ((x - loc_end) ** 2).mean()
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6))
+    def train_epoch(self, params, opt_state, ds_arrays, perm, frames, in_steps):
+        loc_all, vel_all, charges_all, w_all = ds_arrays
+        end = (frames[-1] if in_steps else frames[0]) + self.num_timesteps
+
+        def body(carry, idx):
+            params, opt_state = carry
+            batch = self._make_batch(ds_arrays, idx, frames, in_steps, end)
+            loss, grads = jax.value_and_grad(self._loss)(params, batch, in_steps)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), perm)
+        return params, opt_state, losses
+
+    def _make_batch(self, ds_arrays, idx, frames, in_steps, end):
+        loc_all, vel_all, charges_all, w_all = ds_arrays
+        if in_steps:
+            loc_in = jnp.stack([loc_all[idx, f] for f in frames])  # [L, B, N, 3]
+            vel_in = jnp.stack([vel_all[idx, f] for f in frames])
+        else:
+            loc_in = loc_all[idx, frames[0]]
+            vel_in = vel_all[idx, frames[0]]
+        return (loc_in, vel_in, charges_all[idx], w_all[idx], loc_all[idx, end])
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def eval_epoch(self, params, ds_arrays, perm, frames, in_steps):
+        end = (frames[-1] if in_steps else frames[0]) + self.num_timesteps
+
+        def body(_, idx):
+            batch = self._make_batch(ds_arrays, idx, frames, in_steps, end)
+            return None, self._loss(params, batch, in_steps)
+
+        _, losses = jax.lax.scan(body, None, perm)
+        return losses
+
+    def rollout(self, params, batch, traj_len: int, in_steps, dataset_kind: str):
+        """Autoregressive rollout (train_nbody.py:200-236): feed each window's
+        prediction back; with multi-input keep a sliding window of the last L
+        states. Returns (locs_pred [traj_len, B, N, 3], energies [traj_len, B, 1])."""
+        loc, vel, charges, w, _ = batch
+        t = self.num_timesteps
+        preds, energies = [], []
+        cur_in_steps = in_steps
+        for i in range(traj_len):
+            his, edge_attr = self._features(loc, vel, charges, w)
+            x, _, v = self._forward(params, his, loc, vel, edge_attr, cur_in_steps)
+            preds.append(x)
+            energies.append(conserved_energy(dataset_kind, x, v, charges))
+            if in_steps:
+                loc = jnp.concatenate([loc[1:], x[None]], axis=0)
+                vel = jnp.concatenate([vel[1:], v[None]], axis=0)
+                cur_in_steps = tuple(
+                    s - t for s in (list(cur_in_steps[1:]) + [t]))
+            else:
+                loc, vel = x, v
+        return jnp.stack(preds), jnp.stack(energies)[..., None]
+
+    def test_rollout(self, params, ds: NBodyDataset, batch_size: int,
+                     rng: np.random.RandomState, traj_len: int, varDT: bool):
+        steps = self.sample_steps(ds, rng, varDT)
+        frames, in_steps, end = self.input_frames(ds, steps)
+        t = self.num_timesteps
+        start = int(frames[-1]) if in_steps else int(frames[0])
+        pred_indices = start + np.cumsum([t] * traj_len)
+        pred_indices = pred_indices[pred_indices < ds.n_frames]
+        tl = len(pred_indices)
+
+        ds_arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        roll_fn = jax.jit(
+            lambda p, b: self.rollout(p, b, tl, in_steps, ds.dataset))
+
+        n = len(ds)
+        tot_loss = tot_steps = count = 0.0
+        targets_l, preds_l, energies_l = [], [], []
+        for s0 in range(0, n - batch_size + 1, batch_size):
+            idx = jnp.arange(s0, s0 + batch_size)
+            batch = self._make_batch(ds_arrays, idx, tuple(int(f) for f in frames),
+                                     in_steps, int(frames[-1]) + t)
+            locs_pred, energies = roll_fn(params, batch)
+            loc_all = ds.loc
+            truth = jnp.stack([loc_all[idx, int(f)] for f in pred_indices])
+
+            b, nn = len(idx), ds.n_balls
+            corr, avg_steps, _ = pearson_correlation_batch(
+                locs_pred.reshape(tl, -1, 3), truth.reshape(tl, -1, 3), nn)
+            losses = ((locs_pred - truth) ** 2).mean(axis=(1, 2, 3))
+            loss = losses.mean()
+            tot_loss += float(loss) * b
+            tot_steps += float(avg_steps) * b
+            count += b
+            targets_l.append(np.asarray(jnp.swapaxes(truth, 0, 1)))
+            preds_l.append(np.asarray(jnp.swapaxes(locs_pred, 0, 1)))
+            energies_l.append(np.asarray(jnp.swapaxes(energies, 0, 1)))
+
+        test_loss = tot_loss / count
+        artifact = {
+            "targets": np.concatenate(targets_l),
+            "preds": np.concatenate(preds_l),
+            "energy_conservation": np.concatenate(energies_l),
+            "test_loss": test_loss,
+        }
+        return test_loss, tot_steps / count, artifact
+
+
+def make_perm(rng: np.random.RandomState, n: int, batch_size: int,
+              shuffle: bool = True) -> np.ndarray:
+    """[num_batches, B] index array; drop_last=True like the reference
+    train loaders."""
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    nb = n // batch_size
+    return idx[: nb * batch_size].reshape(nb, batch_size).astype(np.int32)

@@ -1,0 +1,200 @@
+"""Training-loop tests: loss decreases, epoch scan correctness, rollout
+shapes, metrics semantics vs the reference definitions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nonode_tpu.data.nbody import NBodyDataset
+from nonode_tpu.models.egno import EGNO
+from nonode_tpu.models.segno import SEGNO
+from nonode_tpu.train.loop import (EGNOExperiment, SEGNOExperiment, make_perm,
+                                   prepare_inputs)
+from nonode_tpu.train.metrics import (conserved_energy, energy_drift,
+                                      pearson_correlation_batch,
+                                      tot_energy_charged_batch)
+
+
+@pytest.fixture(scope="module")
+def charged_ds(tmp_path_factory):
+    """Physically plausible tiny dataset from the JAX simulator."""
+    from nonode_tpu.sim.simulators import ChargedSim, sample_batch
+    d = tmp_path_factory.mktemp("train_data")
+    sim = ChargedSim(n_balls=5)
+    loc, vel, edges, charges = sample_batch(
+        sim, jax.random.PRNGKey(0), 24, 5000, 100)   # 49 frames
+    np.save(d / "loc_train_charged5_initvel1small.npy",
+            np.asarray(loc).transpose(0, 1, 3, 2))
+    np.save(d / "vel_train_charged5_initvel1small.npy",
+            np.asarray(vel).transpose(0, 1, 3, 2))
+    np.save(d / "edges_train_charged5_initvel1small.npy", np.asarray(edges))
+    np.save(d / "charges_train_charged5_initvel1small.npy", np.asarray(charges))
+    return d
+
+
+class TestEGNOTraining:
+    def test_loss_decreases(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=5)
+        model = EGNO(n_layers=2, hidden_nf=16, num_timesteps=5, time_emb_dim=8,
+                     num_modes=2)
+        exp = EGNOExperiment(model, lr=5e-3, weight_decay=1e-8)
+        params, opt_state = exp.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        idx_arrays = {k: jnp.asarray(v)
+                      for k, v in exp.epoch_index_arrays(ds, rng).items()}
+        first = last = None
+        for _ in range(12):
+            perm = make_perm(rng, len(ds), 8)
+            params, opt_state, losses, _ = exp.train_epoch(
+                params, opt_state, arrays, idx_arrays, perm)
+            loss = float(np.mean(np.asarray(losses)))
+            first = loss if first is None else first
+            last = loss
+        assert last < first * 0.7, f"no learning: {first} -> {last}"
+
+    def test_rollout_shapes(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=4, traj_len=3)
+        model = EGNO(n_layers=1, hidden_nf=8, num_timesteps=4, time_emb_dim=4,
+                     num_modes=2)
+        exp = EGNOExperiment(model)
+        params, _ = exp.init(jax.random.PRNGKey(1))
+        test_loss, avg_steps, artifact = exp.test_rollout(
+            params, ds, batch_size=8, rng=np.random.RandomState(0))
+        assert np.isfinite(test_loss)
+        b = (len(ds) // 8) * 8
+        assert artifact["targets"].shape[0] == b
+        assert artifact["preds"].shape[0] == b
+        cut = int(0.4 * 3 * 4)
+        assert artifact["preds"].shape[1] == cut
+        assert artifact["energy_conservation"].shape == (b, cut, 1)
+
+    def test_multi_input_epoch(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=6, num_inputs=2, varDT=True)
+        model = EGNO(n_layers=1, hidden_nf=8, num_timesteps=6, time_emb_dim=4,
+                     num_modes=2, num_inputs=2, varDT=True)
+        exp = EGNOExperiment(model)
+        params, opt_state = exp.init(jax.random.PRNGKey(2))
+        rng = np.random.RandomState(0)
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        idx_arrays = {k: jnp.asarray(v)
+                      for k, v in exp.epoch_index_arrays(ds, rng).items()}
+        perm = make_perm(rng, len(ds), 8)
+        params, opt_state, losses, _ = exp.train_epoch(
+            params, opt_state, arrays, idx_arrays, perm)
+        assert np.isfinite(np.asarray(losses)).all()
+
+
+class TestSEGNOTraining:
+    def test_loss_decreases(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=5)
+        model = SEGNO(hidden_nf=16, n_layers=5)
+        exp = SEGNOExperiment(model, num_timesteps=5, lr=5e-3)
+        params, opt_state = exp.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        frames, in_steps, _ = exp.input_frames(ds, None)
+        first = last = None
+        for _ in range(20):
+            perm = make_perm(rng, len(ds), 8)
+            params, opt_state, losses = exp.train_epoch(
+                params, opt_state, arrays, perm, frames, in_steps)
+            loss = float(np.mean(np.asarray(losses)))
+            first = loss if first is None else first
+            last = loss
+        assert last < first * 0.8, f"no learning: {first} -> {last}"
+
+    def test_rollout(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=4, traj_len=3)
+        model = SEGNO(hidden_nf=8, n_layers=4)
+        exp = SEGNOExperiment(model, num_timesteps=4)
+        params, _ = exp.init(jax.random.PRNGKey(1))
+        test_loss, avg_steps, artifact = exp.test_rollout(
+            params, ds, batch_size=8, rng=np.random.RandomState(0),
+            traj_len=3, varDT=False)
+        assert np.isfinite(test_loss)
+        assert artifact["preds"].shape[1] == 3   # one frame per window
+
+    def test_multi_input_frames(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=6, num_inputs=2)
+        exp = SEGNOExperiment(SEGNO(hidden_nf=8, multiple_agg="attn"),
+                              num_timesteps=6)
+        steps = exp.sample_steps(ds, np.random.RandomState(0), varDT=False)
+        assert steps == (3,)
+        frames, in_steps, end = exp.input_frames(ds, steps)
+        assert frames == (27, 30)
+        assert in_steps == (-3, 0)
+        assert end == 36
+
+
+class TestMetrics:
+    def test_pearson_perfect_correlation(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(10, 12, 3), jnp.float32)
+        corr, avg_steps, first_fail = pearson_correlation_batch(x, x, 4)
+        cut = 4
+        np.testing.assert_allclose(np.asarray(corr), np.ones((3, cut)),
+                                   atol=1e-5)
+        assert float(avg_steps) == cut
+        assert int(first_fail) == cut
+
+    def test_pearson_anticorrelated(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(10, 12, 3), jnp.float32)
+        corr, avg_steps, first_fail = pearson_correlation_batch(x, -x, 4)
+        assert float(avg_steps) == 0
+        assert int(first_fail) == 0
+
+    def test_energy_drift(self):
+        e = jnp.asarray([[2.0], [2.2], [1.8]])
+        d = energy_drift(e)
+        np.testing.assert_allclose(np.asarray(d[:, 0]),
+                                   [0.0, 0.1, 0.1], atol=1e-5)
+
+    def test_charged_energy_matches_sim(self):
+        """The metrics energy must equal the simulator's oracle."""
+        from nonode_tpu.sim.simulators import ChargedSim
+        sim = ChargedSim(n_balls=5)
+        loc, vel, edges, q = sim.sample_trajectory(jax.random.PRNGKey(0),
+                                                   T=500, sample_freq=100)
+        e_sim = sim.energy(loc[0], vel[0], edges)
+        e_metric = tot_energy_charged_batch(loc[0], vel[0], edges)
+        np.testing.assert_allclose(float(e_sim), float(e_metric), rtol=1e-5)
+
+    def test_conserved_energy_dispatch(self):
+        rng = np.random.RandomState(0)
+        loc = jnp.asarray(rng.randn(2, 4, 3), jnp.float32)
+        vel = jnp.asarray(rng.randn(2, 4, 3), jnp.float32)
+        q = jnp.asarray(rng.choice([-1.0, 1.0], (2, 4, 1)), jnp.float32)
+        e = conserved_energy("charged", loc, vel, q)
+        assert e.shape == (2,)
+        m = jnp.abs(q)
+        e2 = conserved_energy("gravity", loc, vel, m)
+        assert e2.shape == (2,)
+
+
+class TestPerm:
+    def test_drop_last(self):
+        perm = make_perm(np.random.RandomState(0), 23, 8)
+        assert perm.shape == (2, 8)
+        assert len(np.unique(perm)) == 16
+
+    def test_prepare_inputs_shapes(self):
+        rng = np.random.RandomState(0)
+        loc = jnp.asarray(rng.randn(2, 5, 3), jnp.float32)
+        vel = jnp.asarray(rng.randn(2, 5, 3), jnp.float32)
+        w = jnp.asarray(rng.randn(2, 5, 5, 1), jnp.float32)
+        q = jnp.asarray(rng.randn(2, 5, 1), jnp.float32)
+        nodes, edge_attr, loc_mean = prepare_inputs(loc, vel, w, q)
+        assert nodes.shape == (2, 5, 2)
+        assert edge_attr.shape == (2, 5, 5, 2)
+        assert loc_mean.shape == (2, 5, 3)
+        np.testing.assert_allclose(np.asarray(loc_mean[0, 0]),
+                                   np.asarray(loc[0].mean(0)), rtol=1e-5)
