@@ -187,23 +187,25 @@ class EGNOExperiment:
         """
         loc_in, vel_in, charges, w, _, t_in, t_out_all = batch
         t_model = self.model.num_timesteps
-        multi = self.model.num_inputs > 1
-        el, preds = [], []
-        loc, vel = loc_in, vel_in                     # [B, L, N, 3]
-        for i in range(traj_len):
-            t_out = t_out_all[:, i * t_model:(i + 1) * t_model] - i * t_model
+        # per-window output timesteps, shifted back by i*T as the reference
+        # does (main_simulation_simple_no.py:358-359)
+        t_wins = jnp.stack([
+            t_out_all[:, i * t_model:(i + 1) * t_model] - i * t_model
+            for i in range(traj_len)])                # [traj_len, B, T]
+        # feedback frames at timesteps_in - 1 (negative => from the end),
+        # per sample (main_simulation_simple_no.py:367-368)
+        fb = (t_in.astype(jnp.int32) - 1) % t_model   # [B, L]
+        take = jax.vmap(lambda xs, f: xs[f], in_axes=(1, 0))  # over B
+
+        def body(carry, t_out):
+            loc, vel = carry
             x, v, _ = self._forward(params, loc, vel, charges, w, t_in, t_out)
-            preds.append(x)                           # [T, B, N, 3]
-            # feedback frames at timesteps_in - 1 (negative => from the end),
-            # per sample (main_simulation_simple_no.py:367-368)
-            fb = (t_in.astype(jnp.int32) - 1) % t_model    # [B, L]
-            take = jax.vmap(lambda xs, f: xs[f], in_axes=(1, 0))  # over B
-            loc = take(x, fb)                         # [B, L, N, 3]
-            vel = take(v, fb)
-            for j in range(t_model):
-                el.append(conserved_energy(dataset_kind, x[j], v[j], charges))
-        locs_pred = jnp.concatenate(preds, axis=0)    # [traj_len*T, B, N, 3]
-        energies = jnp.stack(el)[..., None]           # [traj_len*T, B, 1]
+            e = conserved_energy(dataset_kind, x, v, charges)  # [T, B]
+            return (take(x, fb), take(v, fb)), (x, e)
+
+        _, (xs, es) = jax.lax.scan(body, (loc_in, vel_in), t_wins)
+        locs_pred = xs.reshape(traj_len * t_model, *xs.shape[2:])
+        energies = es.reshape(traj_len * t_model, -1)[..., None]
         return locs_pred, energies
 
     def test_rollout(self, params, ds: NBodyDataset, batch_size: int,
@@ -367,21 +369,58 @@ class SEGNOExperiment:
         states. Returns (locs_pred [traj_len, B, N, 3], energies [traj_len, B, 1])."""
         loc, vel, charges, w, _ = batch
         t = self.num_timesteps
-        preds, energies = [], []
-        cur_in_steps = in_steps
-        for i in range(traj_len):
+
+        def window(carry, cur_in_steps):
+            loc, vel = carry
             his, edge_attr = self._features(loc, vel, charges, w)
-            x, _, v = self._forward(params, his, loc, vel, edge_attr, cur_in_steps)
-            preds.append(x)
-            energies.append(conserved_energy(dataset_kind, x, v, charges))
+            x, _, v = self._forward(params, his, loc, vel, edge_attr,
+                                    cur_in_steps)
+            e = conserved_energy(dataset_kind, x, v, charges)
             if in_steps:
                 loc = jnp.concatenate([loc[1:], x[None]], axis=0)
                 vel = jnp.concatenate([vel[1:], v[None]], axis=0)
-                cur_in_steps = tuple(
-                    s - t for s in (list(cur_in_steps[1:]) + [t]))
             else:
                 loc, vel = x, v
-        return jnp.stack(preds), jnp.stack(energies)[..., None]
+            return (loc, vel), (x, e)
+
+        if not in_steps:
+            # single input: identical windows -> lax.scan
+            def body(carry, _):
+                return window(carry, None)
+            _, (xs, es) = jax.lax.scan(body, (loc, vel), None,
+                                       length=traj_len)
+            return xs, es[..., None]
+
+        # multi-input: in_steps shifts each window (sliding window of
+        # predictions, train_nbody.py:220-226) and reaches its fixed point
+        # (-(L-1)*T, ..., -T, 0) after L-1 windows; unroll until then, scan
+        # the stable remainder.
+        xs_parts, es_parts = [], []
+        cur_in_steps = in_steps
+        carry = (loc, vel)
+        done = 0
+        while done < traj_len:
+            nxt = tuple(s - t for s in (list(cur_in_steps[1:]) + [t]))
+            if nxt == cur_in_steps:
+                break
+            carry, (x0, e0) = window(carry, cur_in_steps)
+            xs_parts.append(x0[None])
+            es_parts.append(e0[None])
+            cur_in_steps = nxt
+            done += 1
+        if done < traj_len:
+            stable = cur_in_steps
+
+            def body(carry, _):
+                return window(carry, stable)
+
+            carry, (xs, es) = jax.lax.scan(body, carry, None,
+                                           length=traj_len - done)
+            xs_parts.append(xs)
+            es_parts.append(es)
+        xs = jnp.concatenate(xs_parts, axis=0)
+        es = jnp.concatenate(es_parts, axis=0)
+        return xs, es[..., None]
 
     def test_rollout(self, params, ds: NBodyDataset, batch_size: int,
                      rng: np.random.RandomState, traj_len: int, varDT: bool):

@@ -121,6 +121,18 @@ class TestSEGNOTraining:
         assert np.isfinite(test_loss)
         assert artifact["preds"].shape[1] == 3   # one frame per window
 
+    def test_multi_input_rollout(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=4, num_inputs=3, traj_len=4)
+        model = SEGNO(hidden_nf=8, n_layers=4, multiple_agg="attn")
+        exp = SEGNOExperiment(model, num_timesteps=4)
+        params, _ = exp.init(jax.random.PRNGKey(3))
+        test_loss, _, artifact = exp.test_rollout(
+            params, ds, batch_size=8, rng=np.random.RandomState(0),
+            traj_len=4, varDT=False)
+        assert np.isfinite(test_loss)
+        assert artifact["preds"].shape[1] == 4
+
     def test_multi_input_frames(self, charged_ds):
         ds = NBodyDataset(data_dir=charged_ds, partition="train",
                           num_timesteps=6, num_inputs=2)
