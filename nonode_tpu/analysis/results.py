@@ -1,0 +1,147 @@
+"""Results analysis — the aggregation layer behind the reference's
+plotting.py / test.ipynb figures and tables, reimplemented over nonode_tpu's
+``.npz`` artifacts.
+
+Semantics mirrored (definitions, not code):
+- per-timestep MSE/MAE over samples+dims, mean ± std across seeds
+  (plotting.py:400-429 compute_mse_mean_std_per_timestep);
+- per-timestep correlation over the flattened (samples, N*3) state
+  (plotting.py:552-612 compute_correlation[_per_timestep]);
+- energy-drift curves (plotting.py:961+ compute_energy_mean_std_per_timestep:
+  mean of squared drift over samples per timestep);
+- horizon-averaged loss until correlation drops below a threshold
+  (plotting.py:871-935 compute_avg_loss_until_t);
+- LaTeX summary tables (plotting.py:859 print_latex_table).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def load_artifact(path):
+    """Load a trajectory artifact npz -> dict of arrays
+    (targets [B, T, N, 3], preds [B, Tc, N, 3], energy_conservation
+    [B, Tc, 1], test_loss scalar)."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _flat(t):
+    """[B, T, N, 3] -> [B, T, N*3]."""
+    b, tt = t.shape[0], t.shape[1]
+    return t.reshape(b, tt, -1)
+
+
+def mse_per_timestep(targets, preds):
+    """Mean squared error per timestep, averaged over samples and dims."""
+    tc = min(targets.shape[1], preds.shape[1])
+    d = _flat(targets)[:, :tc] - _flat(preds)[:, :tc]
+    return (d ** 2).mean(axis=(0, 2))
+
+
+def mae_per_timestep(targets, preds):
+    tc = min(targets.shape[1], preds.shape[1])
+    d = _flat(targets)[:, :tc] - _flat(preds)[:, :tc]
+    return np.abs(d).mean(axis=(0, 2))
+
+
+def correlation_per_timestep(targets, preds):
+    """Pearson correlation per timestep over the flattened (B, N*3) state."""
+    tc = min(targets.shape[1], preds.shape[1])
+    a = _flat(targets)[:, :tc].transpose(1, 0, 2).reshape(tc, -1)
+    b = _flat(preds)[:, :tc].transpose(1, 0, 2).reshape(tc, -1)
+    ca = a - a.mean(axis=1, keepdims=True)
+    cb = b - b.mean(axis=1, keepdims=True)
+    cov = (ca * cb).sum(axis=1)
+    return cov / (np.sqrt((ca ** 2).sum(1)) * np.sqrt((cb ** 2).sum(1)))
+
+
+def energy_drift_per_timestep(energy):
+    """energy: [B, T, 1] per-step conserved energy -> mean over samples of
+    the squared relative drift |Et - E0| / (E0 + 1e-10), per timestep."""
+    e0 = energy[:, :1]
+    drift = np.abs((energy - e0) / (e0 + 1e-10))
+    return (drift[..., 0] ** 2).mean(axis=0)
+
+
+def mean_std_over_seeds(per_seed_curves):
+    """[n_seeds, T] -> (mean [T], std [T]); std uses ddof=1 like torch.std."""
+    c = np.stack(per_seed_curves)
+    std = c.std(axis=0, ddof=1) if c.shape[0] > 1 else np.zeros(c.shape[1])
+    return c.mean(axis=0), std
+
+
+def avg_loss_until_corr(mean_losses, mean_corr, threshold=0.99):
+    """Average loss over the horizon until mean correlation drops below the
+    threshold; returns (index, avg_loss)."""
+    below = np.where(mean_corr < threshold)[0]
+    index = int(below[0]) if len(below) else len(mean_losses)
+    avg = float(np.mean(mean_losses[:index])) if index > 0 else float("nan")
+    return index, avg
+
+
+def analyze_group(artifact_paths):
+    """Aggregate a seed-group of artifacts into mean ± std curves."""
+    mses, maes, corrs, drifts, test_losses = [], [], [], [], []
+    for p in artifact_paths:
+        a = load_artifact(p)
+        mses.append(mse_per_timestep(a["targets"], a["preds"]))
+        maes.append(mae_per_timestep(a["targets"], a["preds"]))
+        corrs.append(correlation_per_timestep(a["targets"], a["preds"]))
+        drifts.append(energy_drift_per_timestep(a["energy_conservation"]))
+        test_losses.append(float(a["test_loss"]))
+    out = {}
+    for name, curves in [("mse", mses), ("mae", maes), ("corr", corrs),
+                         ("energy_drift", drifts)]:
+        mean, std = mean_std_over_seeds(curves)
+        out[f"{name}_mean"], out[f"{name}_std"] = mean, std
+    out["test_loss_mean"] = float(np.mean(test_losses))
+    out["test_loss_std"] = float(np.std(test_losses, ddof=1)) \
+        if len(test_losses) > 1 else 0.0
+    out["n_seeds"] = len(artifact_paths)
+    return out
+
+
+def latex_table(rows, caption="Results", label="tab:results"):
+    """rows: list of (name, mean, std) -> LaTeX tabular (the
+    print_latex_table output shape, plotting.py:859)."""
+    lines = [r"\begin{table}[h]", r"\centering",
+             r"\begin{tabular}{lc}", r"\toprule",
+             r"Configuration & test loss \\", r"\midrule"]
+    for name, mean, std in rows:
+        lines.append(rf"{name} & ${mean:.4f} \pm {std:.4f}$ \\")
+    lines += [r"\bottomrule", r"\end{tabular}",
+              rf"\caption{{{caption}}}", rf"\label{{{label}}}",
+              r"\end{table}"]
+    return "\n".join(lines)
+
+
+def plot_multiple_curves(curves, out_path=None, ylabel="MSE", logy=True,
+                         title=None):
+    """Multi-curve figure with ± std bands (plot_multiple_curves,
+    plotting.py:981+). curves: {label: (mean [T], std [T])}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for label, (mean, std) in curves.items():
+        x = np.arange(1, len(mean) + 1)
+        ax.plot(x, mean, label=label)
+        ax.fill_between(x, mean - std, mean + std, alpha=0.2)
+    if logy:
+        ax.set_yscale("log")
+    ax.set_xlabel("timestep")
+    ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+        plt.close(fig)
+        return out_path
+    return fig

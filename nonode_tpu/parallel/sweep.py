@@ -1,0 +1,175 @@
+"""Sweep orchestration — grid sweeps over the unified driver.
+
+Parity with the reference's wandb sweep layer (_schedule.yaml:1-69 grids,
+EGNO/sweep_params.py): named grid specs (method, metric, parameters with
+value/values), cartesian expansion, and a runner that executes each config
+through nonode_tpu.main and collects the metric.
+
+TPU-first: instead of independent wandb agent *processes* racing for grid
+points (EGNO_sweep.py:40-42), the runner executes configs sequentially in one
+process (the accelerator is the bottleneck and each run jits once), records
+per-run results to a JSONL ledger, and supports resume by skipping configs
+whose results already exist. A summary table (mean ± std over seeds per
+group) reproduces the aggregation the reference does in test.ipynb/plotting.
+
+Usage:
+    python -m nonode_tpu.parallel.sweep --schedule schedule.yaml --grid BASE \
+        --data_dir data --outf results [--dry_run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+DEFAULT_SCHEDULE = {
+    # The reference grids (_schedule.yaml): BASE sweeps model x dataset x
+    # n_balls x 5 seeds; PRO adds multi-input and varDT over 3 seeds.
+    "BASE": {
+        "method": "grid",
+        "metric": {"goal": "minimize", "name": "test_loss"},
+        "parameters": {
+            "exp_name": {"value": "_exp_new"},
+            "dataset": {"values": ["charged", "gravity"]},
+            "model": {"values": ["segno", "egno"]},
+            "n_balls": {"values": [5, 10, 20]},
+            "num_inputs": {"value": 1},
+            "varDT": {"value": False},
+            "seed": {"values": [1, 2, 3, 4, 5]},
+        },
+    },
+    "PRO": {
+        "method": "grid",
+        "metric": {"goal": "minimize", "name": "test_loss"},
+        "parameters": {
+            "exp_name": {"value": "_exp_new"},
+            "model": {"values": ["segno", "egno"]},
+            "dataset": {"values": ["charged", "gravity"]},
+            "n_balls": {"values": [5, 10]},
+            "num_inputs": {"values": [2, 3]},
+            "seed": {"values": [1, 2, 3]},
+            "varDT": {"values": [True, False]},
+        },
+    },
+}
+
+
+def expand_grid(spec: dict) -> list[dict]:
+    """Cartesian expansion of a wandb-style grid spec."""
+    assert spec.get("method", "grid") == "grid"
+    params = spec["parameters"]
+    keys, value_lists = [], []
+    for k, v in params.items():
+        if "values" in v:
+            keys.append(k)
+            value_lists.append(list(v["values"]))
+        elif "value" in v:
+            keys.append(k)
+            value_lists.append([v["value"]])
+    return [dict(zip(keys, combo)) for combo in itertools.product(*value_lists)]
+
+
+def config_id(cfg: dict) -> str:
+    return "_".join(f"{k}={cfg[k]}" for k in sorted(cfg) if k != "exp_name")
+
+
+def load_schedule(path: str | None, grid: str) -> dict:
+    if path and Path(path).exists():
+        with open(path) as f:
+            return yaml.safe_load(f)[grid]
+    return DEFAULT_SCHEDULE[grid]
+
+
+def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
+              ledger_path: Path, dry_run: bool = False) -> list[dict]:
+    """Run every config in the grid; resume-safe via the JSONL ledger."""
+    from ..main import get_args, main as run_main
+
+    spec = load_schedule(schedule_path, grid_name)
+    configs = expand_grid(spec)
+    metric_name = spec.get("metric", {}).get("name", "test_loss")
+
+    done = {}
+    ledger_path.parent.mkdir(parents=True, exist_ok=True)
+    if ledger_path.exists():
+        for line in ledger_path.read_text().splitlines():
+            rec = json.loads(line)
+            done[rec["config_id"]] = rec
+
+    results = []
+    for i, cfg in enumerate(configs):
+        cid = config_id(cfg)
+        if cid in done:
+            results.append(done[cid])
+            continue
+        if dry_run:
+            print(f"[{i + 1}/{len(configs)}] DRY {cid}")
+            continue
+        print(f"[{i + 1}/{len(configs)}] RUN {cid}")
+        argv = []
+        merged = {**cfg, **overrides}
+        for k, v in merged.items():
+            argv += [f"--{k}", str(v)]
+        args = get_args(argv)
+        t0 = time.time()
+        best_val_loss, test_loss, best_epoch = run_main(args)
+        rec = {"config_id": cid, "config": cfg, metric_name: test_loss,
+               "best_val_loss": best_val_loss, "best_epoch": best_epoch,
+               "wall_s": round(time.time() - t0, 1)}
+        with open(ledger_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        results.append(rec)
+    return results
+
+
+def summarize(results: list[dict], metric: str = "test_loss") -> dict:
+    """Group by config minus seed; mean +- std over seeds (the aggregation
+    plotting.py:400-429 / test.ipynb cell 16 perform on artifacts)."""
+    groups = {}
+    for rec in results:
+        cfg = dict(rec["config"])
+        cfg.pop("seed", None)
+        cfg.pop("exp_name", None)
+        key = json.dumps(cfg, sort_keys=True)
+        groups.setdefault(key, []).append(rec[metric])
+    return {k: {"mean": float(np.mean(v)), "std": float(np.std(v)),
+                "n_seeds": len(v)}
+            for k, v in groups.items()}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--schedule", type=str, default=None,
+                        help="YAML schedule (defaults to built-in grids)")
+    parser.add_argument("--grid", type=str, default="BASE")
+    parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--outf", type=str, default="results")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--max_samples", type=int, default=None)
+    parser.add_argument("--dry_run", action="store_true")
+    args = parser.parse_args(argv)
+
+    overrides = {"data_dir": args.data_dir, "outf": args.outf}
+    for k in ("epochs", "batch_size", "max_samples"):
+        if getattr(args, k) is not None:
+            overrides[k] = getattr(args, k)
+
+    ledger = Path(args.outf) / f"sweep_{args.grid}.jsonl"
+    results = run_sweep(args.grid, args.schedule, overrides, ledger,
+                        dry_run=args.dry_run)
+    if results:
+        summary = summarize(results)
+        print(json.dumps(summary, indent=2))
+        with open(Path(args.outf) / f"sweep_{args.grid}_summary.json", "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

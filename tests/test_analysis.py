@@ -1,0 +1,110 @@
+"""Analysis + sweep layer tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from nonode_tpu.analysis.results import (analyze_group, avg_loss_until_corr,
+                                         correlation_per_timestep,
+                                         energy_drift_per_timestep,
+                                         latex_table, load_artifact,
+                                         mean_std_over_seeds,
+                                         mse_per_timestep)
+from nonode_tpu.parallel.sweep import (DEFAULT_SCHEDULE, config_id,
+                                       expand_grid, summarize)
+
+
+@pytest.fixture
+def artifacts(tmp_path):
+    rng = np.random.RandomState(0)
+    paths = []
+    for seed in range(3):
+        targets = rng.randn(16, 20, 5, 3).astype(np.float32)
+        preds = targets + 0.1 * rng.randn(16, 8, 5, 3).astype(np.float32) \
+            if False else targets[:, :8] + 0.1 * rng.randn(16, 8, 5, 3)
+        energy = 2.0 + 0.01 * rng.randn(16, 8, 1)
+        p = tmp_path / f"seed{seed}_results.npz"
+        np.savez(p, targets=targets, preds=preds,
+                 energy_conservation=energy, test_loss=0.1 * (seed + 1))
+        paths.append(p)
+    return paths
+
+
+class TestAnalysis:
+    def test_mse_per_timestep(self):
+        t = np.zeros((4, 6, 3, 3))
+        p = np.ones((4, 6, 3, 3)) * 2.0
+        np.testing.assert_allclose(mse_per_timestep(t, p), np.full(6, 4.0))
+
+    def test_correlation_perfect(self):
+        rng = np.random.RandomState(0)
+        t = rng.randn(8, 5, 4, 3)
+        c = correlation_per_timestep(t, t.copy())
+        np.testing.assert_allclose(c, np.ones(5), atol=1e-9)
+
+    def test_energy_drift(self):
+        e = np.full((4, 6, 1), 2.0)
+        e[:, 3:] = 2.2
+        d = energy_drift_per_timestep(e)
+        np.testing.assert_allclose(d[:3], 0.0, atol=1e-12)
+        assert (d[3:] > 0).all()
+
+    def test_mean_std_over_seeds_ddof(self):
+        mean, std = mean_std_over_seeds([np.array([1.0, 2.0]),
+                                         np.array([3.0, 4.0])])
+        np.testing.assert_allclose(mean, [2.0, 3.0])
+        np.testing.assert_allclose(std, np.std([[1, 2], [3, 4]], axis=0,
+                                               ddof=1))
+
+    def test_avg_loss_until_corr(self):
+        losses = np.array([1.0, 2.0, 3.0, 4.0])
+        corr = np.array([0.999, 0.995, 0.5, 0.1])
+        idx, avg = avg_loss_until_corr(losses, corr, threshold=0.99)
+        assert idx == 2
+        assert avg == 1.5
+
+    def test_analyze_group(self, artifacts):
+        out = analyze_group(artifacts)
+        assert out["n_seeds"] == 3
+        assert out["mse_mean"].shape == (8,)
+        assert np.isclose(out["test_loss_mean"], 0.2)
+        assert (out["corr_mean"] > 0.9).all()
+
+    def test_latex_table(self):
+        t = latex_table([("egno charged-5", 0.0123, 0.002)])
+        assert r"\begin{table}" in t and "0.0123" in t
+
+    def test_roundtrip(self, artifacts):
+        a = load_artifact(artifacts[0])
+        assert set(a) == {"targets", "preds", "energy_conservation",
+                          "test_loss"}
+
+
+class TestSweep:
+    def test_expand_base_grid(self):
+        cfgs = expand_grid(DEFAULT_SCHEDULE["BASE"])
+        # 2 datasets x 2 models x 3 n_balls x 5 seeds = 60
+        assert len(cfgs) == 60
+        assert {c["model"] for c in cfgs} == {"segno", "egno"}
+
+    def test_expand_pro_grid(self):
+        cfgs = expand_grid(DEFAULT_SCHEDULE["PRO"])
+        # 2 models x 2 datasets x 2 n_balls x 2 num_inputs x 3 seeds x 2 varDT
+        assert len(cfgs) == 96
+
+    def test_config_id_stable(self):
+        cfgs = expand_grid(DEFAULT_SCHEDULE["BASE"])
+        ids = {config_id(c) for c in cfgs}
+        assert len(ids) == len(cfgs)
+
+    def test_summarize_groups_by_seed(self):
+        results = [
+            {"config": {"model": "egno", "seed": 1}, "test_loss": 0.1},
+            {"config": {"model": "egno", "seed": 2}, "test_loss": 0.3},
+            {"config": {"model": "segno", "seed": 1}, "test_loss": 0.5},
+        ]
+        s = summarize(results)
+        key = json.dumps({"model": "egno"}, sort_keys=True)
+        assert np.isclose(s[key]["mean"], 0.2)
+        assert s[key]["n_seeds"] == 2
