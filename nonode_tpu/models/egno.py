@@ -99,7 +99,7 @@ class EGNO:
         return p
 
     def __call__(self, p: Params, loc, vel, nodes, edge_attr, loc_mean,
-                 timesteps_out=None, timesteps_in=None):
+                 timesteps_out=None, timesteps_in=None, edge_mask=None):
         """Decode ``num_timesteps`` frames.
 
         Single input (num_inputs == 1):
@@ -155,5 +155,6 @@ class EGNO:
                 out = self.time_conv_x(p["time_conv_x"][i], stacked)
                 x = out[..., 0] + x_mean
                 v = out[..., 1]
-            x, v, h = self.layer(p["layers"][i], x, h, e_fea, v=v)
+            x, v, h = self.layer(p["layers"][i], x, h, e_fea, v=v,
+                                 edge_mask=edge_mask)
         return x, v, h

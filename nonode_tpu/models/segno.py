@@ -92,13 +92,15 @@ class SEGNO:
             p["attn"] = self.attn.init(k3)
         return p
 
-    def integrate(self, p: Params, h, x, v, edge_attr, steps: int):
+    def integrate(self, p: Params, h, x, v, edge_attr, steps: int,
+                  edge_mask=None):
         """forward_step (model.py:95-102): `steps` GCL applications, 1/steps."""
         inv = 1.0 / steps
 
         def body(carry, _):
             h, x, v = carry
-            h, x, v = self.gcl(p["gcl"], h, x, v, edge_attr, inv)
+            h, x, v = self.gcl(p["gcl"], h, x, v, edge_attr, inv,
+                               edge_mask=edge_mask)
             return (h, x, v), None
 
         (h, x, v), _ = jax.lax.scan(body, (h, x, v), length=steps)
@@ -118,7 +120,7 @@ class SEGNO:
         raise ValueError(f"Invalid multiple_agg: {self.multiple_agg}")
 
     def __call__(self, p: Params, his, x, v, edge_attr, T: int = 10,
-                 in_steps=None):
+                 in_steps=None, edge_mask=None):
         """Predict the state T integrator steps ahead.
 
         Single input: his [B, N, F]; x, v [B, N, 3]; edge_attr [B, N, N, E].
@@ -140,7 +142,8 @@ class SEGNO:
 
         h_, x_, v_ = h[0], x[0], v[0]
         for i, step in enumerate(steps):
-            hi, xi, vi = self.integrate(p, h_, x_, v_, edge_attr, step)
+            hi, xi, vi = self.integrate(p, h_, x_, v_, edge_attr, step,
+                                        edge_mask=edge_mask)
             if i < len(steps) - 1:
                 h_, x_, v_ = self.fuse(p, (h[i + 1], x[i + 1], v[i + 1]),
                                        (hi, xi, vi))

@@ -39,14 +39,17 @@ def pairwise_diff(x):
 
 
 def masked_sum_j(m, mask):
-    """m: [..., N, N, K]; mask: [N, N]. Sum over j with self-edges masked."""
+    """m: [..., N, N, K]; mask: [..., N, N]. Sum over j with masked edges
+    zeroed."""
     return (m * mask[..., None]).sum(axis=-2)
 
 
 def masked_mean_j(m, mask):
-    """Mean over j != i; divisor matches the reference's count.clamp(min=1)."""
-    n = m.shape[-2]
-    return masked_sum_j(m, mask) / max(n - 1, 1)
+    """Mean over unmasked j; the divisor is the per-node degree clamped at 1,
+    matching the reference's count.clamp(min=1) (basic.py:23-28). For the
+    complete graph (mask = offdiag) the degree is N-1 everywhere."""
+    degree = mask.sum(axis=-1)[..., None]           # [..., N, 1]
+    return masked_sum_j(m, mask) / jnp.maximum(degree, 1.0)
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
@@ -106,10 +109,15 @@ class EGNNLayer:
             p["node_net"] = self.node_net.init(ks[3])
         return p
 
-    def __call__(self, p: Params, x, h, edge_fea, v=None):
-        """x: [..., N, 3]; h: [..., N, H]; edge_fea: [..., N, N, E]."""
+    def __call__(self, p: Params, x, h, edge_fea, v=None, edge_mask=None):
+        """x: [..., N, 3]; h: [..., N, H]; edge_fea: [..., N, N, E].
+
+        edge_mask: optional [..., N, N] 0/1 mask restricting the graph (e.g.
+        skeleton + 2-hop edges for mocap); defaults to the complete graph."""
         n = x.shape[-2]
         mask = offdiag_mask(n, x.dtype)
+        if edge_mask is not None:
+            mask = mask * edge_mask
 
         rij = pairwise_diff(x)                                # [..., N, N, 3]
         r2 = (rij * rij).sum(axis=-1, keepdims=True)          # [..., N, N, 1]
@@ -199,10 +207,13 @@ class SEGNOGCL:
             y = jnp.tanh(y) * p["coords_range"]
         return y
 
-    def __call__(self, p: Params, h, x, v, edge_attr, inv_steps: float):
+    def __call__(self, p: Params, h, x, v, edge_attr, inv_steps: float,
+                 edge_mask=None):
         """One integrator step. inv_steps = 1/T (reference 1/n_layers)."""
         n = x.shape[-2]
         mask = offdiag_mask(n, x.dtype)
+        if edge_mask is not None:
+            mask = mask * edge_mask
 
         rij = pairwise_diff(x)
         radial = (rij * rij).sum(axis=-1, keepdims=True)
