@@ -1,3 +1,4 @@
 from .egno import EGNO
 from .segno import SEGNO
-from .baselines import GNN, LinearDynamics, RFVel, FullMLP
+from .baselines import (GNN, EGMN, EquivariantScalarNet, FullMLP,
+                        LinearDynamics, RFVel)

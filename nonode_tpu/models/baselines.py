@@ -135,6 +135,95 @@ class RFVel:
 
 
 @dataclasses.dataclass(frozen=True)
+class EquivariantScalarNet:
+    """Universal O(n)-equivariant net via the Gram matrix of input vectors
+    (basic.py:61-104): scalars = flatten(Z^T Z) [+ extra scalars] -> MLP;
+    output vector = Z @ vec_scalars; output scalars from a second head."""
+
+    n_vector_input: int
+    hidden_dim: int
+    n_scalar_input: int = 0
+    norm: bool = True
+    flat: bool = True
+
+    @property
+    def in_scalar_net(self) -> MLP:
+        return MLP(self.n_vector_input ** 2 + self.n_scalar_input,
+                   self.hidden_dim, self.hidden_dim, jax.nn.silu,
+                   last_act=True, flat=self.flat)
+
+    @property
+    def out_vector_net(self) -> MLP:
+        return MLP(self.hidden_dim, self.hidden_dim, self.n_vector_input,
+                   jax.nn.silu, flat=self.flat)
+
+    @property
+    def out_scalar_net(self) -> MLP:
+        return MLP(self.hidden_dim, self.hidden_dim, self.hidden_dim,
+                   jax.nn.silu, flat=self.flat)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, 3)
+        return {"in_scalar": self.in_scalar_net.init(ks[0]),
+                "out_vector": self.out_vector_net.init(ks[1]),
+                "out_scalar": self.out_scalar_net.init(ks[2])}
+
+    def __call__(self, p: Params, vectors, scalars=None):
+        """vectors: [..., 3, K] stack of K vectors (or list of [..., 3]).
+        Returns (vector [..., 3], scalars [..., H])."""
+        if isinstance(vectors, (list, tuple)):
+            z = jnp.stack(vectors, axis=-1)
+        else:
+            z = vectors
+        k = z.shape[-1]
+        gram = jnp.einsum("...dk,...dl->...kl", z, z)
+        s = gram.reshape(*gram.shape[:-2], k * k)
+        if self.norm:
+            nrm = jnp.sqrt((s * s).sum(-1, keepdims=True))
+            s = s / jnp.maximum(nrm, 1e-12)
+        if scalars is not None:
+            s = jnp.concatenate([s, scalars], axis=-1)
+        s = self.in_scalar_net(p["in_scalar"], s)
+        vec_w = self.out_vector_net(p["out_vector"], s)
+        vector = jnp.einsum("...dk,...k->...d", z, vec_w)
+        return vector, self.out_scalar_net(p["out_scalar"], s)
+
+
+@dataclasses.dataclass(frozen=True)
+class EGMN:
+    """Equivariant multi-layer net over a growing vector basis
+    (basic.py:215-231): layer i consumes the original vectors plus every
+    previously produced vector."""
+
+    n_layers: int
+    n_vector_input: int
+    hidden_dim: int
+    n_scalar_input: int
+    norm: bool = False
+    flat: bool = False
+
+    def layer(self, i: int) -> EquivariantScalarNet:
+        return EquivariantScalarNet(
+            n_vector_input=self.n_vector_input + i,
+            hidden_dim=self.hidden_dim,
+            n_scalar_input=self.n_scalar_input if i == 0 else self.hidden_dim,
+            norm=self.norm, flat=self.flat)
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, self.n_layers)
+        return {"layers": [self.layer(i).init(ks[i])
+                           for i in range(self.n_layers)]}
+
+    def __call__(self, p: Params, vectors, scalars):
+        """vectors: list of [..., 3]; scalars [..., S]."""
+        cur = list(vectors)
+        for i in range(self.n_layers):
+            vector, scalars = self.layer(i)(p["layers"][i], cur, scalars)
+            cur.append(vector)
+        return cur[-1], scalars
+
+
+@dataclasses.dataclass(frozen=True)
 class FullMLP:
     """Residual MLP stack ignoring graph structure (basic.py:352-367)."""
 
