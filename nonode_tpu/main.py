@@ -206,7 +206,9 @@ def main(args):
         test_loss, avg_num_steps, artifact = exp.test_rollout(
             params, ds_test, args.batch_size, rng, args.traj_len, args.varDT)
     print(f"==> test rollout loss: {test_loss:.5f} "
-          f"avg_num_steps: {avg_num_steps:.2f}")
+          f"avg_num_steps: {avg_num_steps:.2f} "
+          f"finite_fraction: {artifact.get('finite_fraction', 1.0):.3f} "
+          f"loss_finite: {artifact.get('test_loss_finite', float('nan')):.5f}")
     results["test loss"].append(test_loss)
 
     with open(model_save_path.with_suffix(".json"), "w") as f:

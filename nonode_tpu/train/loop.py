@@ -66,6 +66,27 @@ def _gather_window(arr, idx, frames):
     return arr[idx[:, None], frames]
 
 
+def _finite_metrics(artifact):
+    """Companion metrics for diverging autoregressive rollouts.
+
+    The reference-semantic test_loss averages squared errors over the 40%
+    horizon even for samples whose feedback loop has blown up to inf/NaN
+    (the reference's own horizon cut exists "to avoid NaN values",
+    utils.py:276). These extras keep reports usable: the loss over samples
+    that stayed finite, and how many did.
+    """
+    preds = artifact["preds"]
+    targets = artifact["targets"][:, : preds.shape[1]]
+    finite = np.isfinite(preds).all(axis=(1, 2, 3))
+    out = {"finite_fraction": float(finite.mean())}
+    if finite.any():
+        d = preds[finite] - targets[finite]
+        out["test_loss_finite"] = float((d ** 2).mean())
+    else:
+        out["test_loss_finite"] = float("nan")
+    return out
+
+
 @dataclasses.dataclass(eq=False)
 class EGNOExperiment:
     """EGNO training/eval/rollout against a device-resident dataset."""
@@ -259,6 +280,7 @@ class EGNOExperiment:
             "energy_conservation": np.concatenate(energies_l),
             "test_loss": test_loss,
         }
+        artifact.update(_finite_metrics(artifact))
         return test_loss, tot_steps / count, artifact
 
 
@@ -466,6 +488,7 @@ class SEGNOExperiment:
             "energy_conservation": np.concatenate(energies_l),
             "test_loss": test_loss,
         }
+        artifact.update(_finite_metrics(artifact))
         return test_loss, tot_steps / count, artifact
 
 

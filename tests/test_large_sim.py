@@ -1,0 +1,58 @@
+"""Large-N fused-kernel simulators must reproduce the lax.scan simulators
+(same keys, same cadence) — the batch/single equivalence pattern applied to
+the Pallas path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nonode_tpu.sim.large import LargeNChargedSim, LargeNGravitySim
+from nonode_tpu.sim.simulators import ChargedSim, GravitySim
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+class TestLargeNGravity:
+    def test_matches_scan_sim(self):
+        key = jax.random.PRNGKey(0)
+        n, T, freq = 40, 300, 100
+        ref = GravitySim(n_balls=n)
+        big = LargeNGravitySim(n_balls=n, interpret=INTERPRET)
+        p1, v1, f1, m1 = ref.sample_trajectory(key, T=T, sample_freq=freq)
+        p2, v2, f2, m2 = big.sample_trajectory(key, T=T, sample_freq=freq)
+        # jit (scan sim) vs eager (block sim) init differs by ~1 ulp
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+        scale = float(jnp.abs(p1).max())
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=2e-3)
+
+
+class TestLargeNCharged:
+    def test_matches_scan_sim(self):
+        key = jax.random.PRNGKey(1)
+        n, T, freq = 20, 300, 100
+        ref = ChargedSim(n_balls=n)
+        big = LargeNChargedSim(n_balls=n, interpret=INTERPRET)
+        l1, v1, e1, q1 = ref.sample_trajectory(key, T=T, sample_freq=freq)
+        l2, v2, e2, q2 = big.sample_trajectory(key, T=T, sample_freq=freq)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        scale = float(jnp.abs(l1).max())
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   atol=2e-4 * scale)
+
+    def test_energy_conservation_1000_body_short(self):
+        """Short version of the stretch oracle: 1000 charged bodies, fused
+        kernels, energy drift bounded."""
+        if INTERPRET:
+            pytest.skip("1000-body kernel run is TPU-only")
+        sim = LargeNChargedSim(n_balls=1000)
+        loc, vel, edges, q = sim.sample_trajectory(jax.random.PRNGKey(2),
+                                                   T=500, sample_freq=100)
+        e = jnp.stack([sim.energy(loc[i], vel[i], edges)
+                       for i in range(loc.shape[0])])
+        k_scale = float(0.5 * (vel[0] ** 2).sum())
+        drift = float(jnp.abs(e - e[0]).max()) / k_scale
+        assert np.isfinite(drift) and drift < 0.5

@@ -222,6 +222,66 @@ class TestEGNOParity:
                                    rtol=2e-4, atol=2e-4)
 
 
+class TestEGNORolloutParity:
+    def test_rollout_loop_matches_reference_semantics(self, ref):
+        """The full autoregressive rollout (window decode -> feedback frame
+        selection -> feature recomputation) must match the reference's
+        rollout_fn step for step (main_simulation_simple_no.py:342-384)."""
+        import jax as _jax
+        torch = ref.torch
+        from nonode_tpu.train.loop import EGNOExperiment
+
+        b, n, hd, t, traj_len = 2, 5, 32, 5, 3
+        tm = ref.TorchEGNO(n_layers=2, in_node_nf=2, in_edge_nf=2,
+                           hidden_nf=hd, with_v=True, num_modes=2,
+                           num_timesteps=t, time_emb_dim=16, num_inputs=1)
+        model = EGNO(n_layers=2, in_node_nf=2, in_edge_nf=2, hidden_nf=hd,
+                     num_modes=2, num_timesteps=t, time_emb_dim=16)
+        p = egno_params_from_state_dict(tm.state_dict(), n_layers=2)
+        exp = EGNOExperiment(model)
+
+        loc, vel, nodes, edge_attr, loc_mean = _egno_inputs(b, n)
+        charges = nodes[..., 1:2]
+        w = edge_attr[..., 0:1]
+        t_out_all = np.broadcast_to(
+            np.arange(1, t * traj_len + 1, dtype=np.float32),
+            (b, t * traj_len)).copy()
+        t_in = np.zeros((b, 1), np.float32)
+
+        rows, cols = sparse_edges(b, n)
+        edges_t = [torch.tensor(rows), torch.tensor(cols)]
+        ea_o = torch.tensor(dense_to_sparse_attr(w))
+
+        def prep(loc_t, vel_t):
+            lm = loc_t.view(b, n, 3).mean(1, keepdim=True).repeat(1, n, 1).view(-1, 3)
+            nd = torch.cat([torch.sqrt((vel_t ** 2).sum(1)).unsqueeze(1),
+                            torch.tensor(charges.reshape(-1, 1))], dim=1)
+            ld = ((loc_t[rows] - loc_t[cols]) ** 2).sum(1).unsqueeze(1)
+            return nd, torch.cat([ea_o, ld], 1), lm
+
+        loc_t = torch.tensor(loc.reshape(-1, 3))
+        vel_t = torch.tensor(vel.reshape(-1, 3))
+        preds_t = []
+        with torch.no_grad():
+            nd, ea, lm = prep(loc_t, vel_t)
+            for i in range(traj_len):
+                t_out = torch.tensor(t_out_all[:, i * t:(i + 1) * t] - i * t)
+                x, v, _ = tm(loc_t, nd, edges_t, ea, v=vel_t, loc_mean=lm,
+                             timesteps_out=t_out)
+                preds_t.append(x.view(t, b, n, 3).numpy())
+                loc_t = x.view(t, -1, 3)[-1]
+                vel_t = v.view(t, -1, 3)[-1]
+                nd, ea, lm = prep(loc_t, vel_t)
+        preds_t = np.concatenate(preds_t, 0)
+
+        batch = (jnp.asarray(loc)[:, None], jnp.asarray(vel)[:, None],
+                 jnp.asarray(charges), jnp.asarray(w), None,
+                 jnp.asarray(t_in), jnp.asarray(t_out_all))
+        locs_pred, _ = exp.rollout(p, batch, traj_len, "charged")
+        np.testing.assert_allclose(np.asarray(locs_pred), preds_t,
+                                   rtol=2e-4, atol=2e-4)
+
+
 class TestSEGNOParity:
     """The reference's live forward (model.py:53) has a regression: the last
     segment's integration result is never assigned back, so single-input
