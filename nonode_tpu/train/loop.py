@@ -77,10 +77,14 @@ def _finite_metrics(artifact):
     """
     preds = artifact["preds"]
     targets = artifact["targets"][:, : preds.shape[1]]
-    finite = np.isfinite(preds).all(axis=(1, 2, 3))
-    out = {"finite_fraction": float(finite.mean())}
-    if finite.any():
-        d = preds[finite] - targets[finite]
+    # "converged" = stayed within 10x the ground-truth coordinate range the
+    # whole horizon (near-overflow float32 garbage is finite but meaningless)
+    bound = 10.0 * max(float(np.abs(targets).max()), 1.0)
+    with np.errstate(invalid="ignore"):
+        ok = (np.isfinite(preds) & (np.abs(preds) <= bound)).all(axis=(1, 2, 3))
+    out = {"finite_fraction": float(ok.mean())}
+    if ok.any():
+        d = preds[ok] - targets[ok]
         out["test_loss_finite"] = float((d ** 2).mean())
     else:
         out["test_loss_finite"] = float("nan")

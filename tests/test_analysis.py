@@ -81,6 +81,30 @@ class TestAnalysis:
                           "test_loss"}
 
 
+class TestRegistry:
+    def test_scan_and_report(self, tmp_path):
+        from nonode_tpu.analysis.registry import build_report, scan_results
+        rng = np.random.RandomState(0)
+        d = tmp_path / "exp"
+        d.mkdir()
+        for seed in (1, 2):
+            t = rng.randn(8, 10, 5, 3)
+            np.savez(d / (f"EGNO_charged_seed={seed}_n_part=5_n_inputs=1"
+                          f"_dT_1_varDT=False_num_timesteps=10_results.npz"),
+                     targets=t, preds=t[:, :4] + 0.1,
+                     energy_conservation=np.ones((8, 4, 1)),
+                     test_loss=0.25)
+        reg = scan_results(tmp_path)
+        assert len(reg) == 1
+        (key, seeds), = reg.items()
+        assert set(seeds) == {"1", "2"}
+        report = build_report(tmp_path, tmp_path / "out")
+        g = report["groups"][key]
+        assert np.isclose(g["test_loss_mean"], 0.25)
+        assert (tmp_path / "out" / "report.json").exists()
+        assert (tmp_path / "out" / "table.tex").exists()
+
+
 class TestSweep:
     def test_expand_base_grid(self):
         cfgs = expand_grid(DEFAULT_SCHEDULE["BASE"])
