@@ -68,3 +68,69 @@ class TestMesh:
         import __graft_entry__ as g
         g.dryrun_multichip(8)
         g.dryrun_multichip(4)
+
+
+class TestEvalSharding:
+    def test_strided_no_padding(self):
+        from nonode_tpu.parallel.fleet import eval_shard_indices
+        n, world = 23, 4
+        shards = [eval_shard_indices(n, world, r) for r in range(world)]
+        assert sum(len(s) for s in shards) == n
+        all_idx = np.sort(np.concatenate(shards))
+        np.testing.assert_array_equal(all_idx, np.arange(n))
+        np.testing.assert_array_equal(shards[1], np.arange(1, n, world))
+
+    def test_shuffled_deterministic(self):
+        from nonode_tpu.parallel.fleet import eval_shard_indices
+        a = eval_shard_indices(20, 2, 0, shuffle=True, seed=3, epoch=5)
+        b = eval_shard_indices(20, 2, 0, shuffle=True, seed=3, epoch=5)
+        np.testing.assert_array_equal(a, b)
+        c = eval_shard_indices(20, 2, 0, shuffle=True, seed=3, epoch=6)
+        assert not np.array_equal(a, c)
+
+
+class TestSeedFleet:
+    def test_fleet_matches_individual_training(self, tmp_path):
+        """A vmapped K-seed epoch must produce exactly what K separate
+        trainings produce."""
+        from nonode_tpu.models.egno import EGNO
+        from nonode_tpu.parallel.fleet import SeedFleet
+        from nonode_tpu.train.loop import EGNOExperiment
+
+        model = EGNO(n_layers=1, hidden_nf=8, num_timesteps=3, time_emb_dim=4,
+                     num_modes=2)
+        exp = EGNOExperiment(model, lr=1e-3)
+        fleet = SeedFleet(exp, seeds=[0, 1, 2])
+
+        s, n, t = 32, 4, 3
+        rng = np.random.RandomState(0)
+        loc = jnp.asarray(rng.randn(s, 20, n, 3), jnp.float32)
+        vel = jnp.asarray(rng.randn(s, 20, n, 3), jnp.float32)
+        charges = jnp.asarray(rng.choice([-1.0, 1.0], (s, n, 1)), jnp.float32)
+        w = jnp.einsum("sik,sjk->sij", charges, charges)[..., None]
+        arrays = (loc, vel, charges, w)
+        out_frames = np.broadcast_to(np.arange(11, 11 + t), (s, t)).copy()
+        idx_arrays = {
+            "frames_in": jnp.full((s, 1), 10, jnp.int32),
+            "t_in": jnp.zeros((s, 1), jnp.float32),
+            "out_frames": jnp.asarray(out_frames.astype(np.int32)),
+            "t_out": jnp.asarray((out_frames - 10).astype(np.float32)),
+        }
+        perms = fleet.make_perms([np.random.RandomState(s_) for s_ in range(3)],
+                                 s, 8)
+
+        params, opt_state = fleet.init()
+        p2, o2, losses, _ = fleet.train_epoch(params, opt_state, arrays,
+                                              idx_arrays, jnp.asarray(perms))
+
+        # replica 1 individually
+        p1 = jax.tree.map(lambda a: a[1], params)
+        o1 = jax.tree.map(lambda a: a[1], opt_state)
+        p1b, o1b, losses1, _ = exp.train_epoch(p1, o1, arrays, idx_arrays,
+                                               jnp.asarray(perms[1]))
+        np.testing.assert_allclose(np.asarray(losses[1]), np.asarray(losses1),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[1], p2)),
+                        jax.tree.leaves(p1b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
