@@ -31,6 +31,7 @@ from .models.egno import EGNO
 from .models.segno import SEGNO
 from .train.checkpoint import EarlyStopping, load_params, save_params
 from .train.loop import EGNOExperiment, SEGNOExperiment, make_perm
+from .utils.logging import RunLogger
 
 
 def str2bool(value):
@@ -139,6 +140,9 @@ def main(args):
           f"Num inputs: {args.num_inputs}, "
           f"Num timesteps: {args.num_timesteps}, dT: {args.dT}")
 
+    logger = RunLogger(args.outf / args.exp_name, model_save_path.stem,
+                       config=vars(args), use_wandb=args.use_wb)
+
     params, opt_state = exp.init(key)
     if args.load_checkpoint and Path(model_save_path).exists():
         print(f"Loading model from {model_save_path}")
@@ -178,6 +182,7 @@ def main(args):
                 params, opt_state, ds_train, train=True)
             results["train loss"].append(train_loss)
             print(f"train epoch {epoch} avg loss: {train_loss:.5f}")
+            logger.log({"train_loss": train_loss}, step=epoch)
             if (epoch % args.test_interval == 0 or epoch == args.epochs - 1) \
                     and epoch > 0:
                 _, _, val_loss = run_train_epoch(params, opt_state, ds_val,
@@ -185,6 +190,7 @@ def main(args):
                 print(f"==> val epoch {epoch} avg loss: {val_loss:.5f}")
                 results["eval epoch"].append(epoch)
                 results["val loss"].append(val_loss)
+                logger.log({"val_loss": val_loss}, step=epoch)
                 if val_loss < best_val_loss:
                     best_val_loss = val_loss
                     best_epoch = epoch
@@ -210,6 +216,9 @@ def main(args):
           f"finite_fraction: {artifact.get('finite_fraction', 1.0):.3f} "
           f"loss_finite: {artifact.get('test_loss_finite', float('nan')):.5f}")
     results["test loss"].append(test_loss)
+    logger.log({"test_loss": test_loss,
+                "avg_num_steps": avg_num_steps,
+                "finite_fraction": artifact.get("finite_fraction", 1.0)})
 
     with open(model_save_path.with_suffix(".json"), "w") as f:
         f.write(json.dumps(results, indent=4))
@@ -218,6 +227,8 @@ def main(args):
         traj_file = model_save_path.parent / f"{model_save_path.stem}_results.npz"
         np.savez(traj_file, **artifact)
         print(f"trajectory artifact saved to {traj_file}")
+        logger.log_artifact(traj_file)
+    logger.finish()
 
     return best_val_loss, test_loss, best_epoch
 
