@@ -87,12 +87,15 @@ def load_schedule(path: str | None, grid: str) -> dict:
 
 
 def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
-              ledger_path: Path, dry_run: bool = False) -> list[dict]:
+              ledger_path: Path, dry_run: bool = False,
+              limit: int | None = None) -> list[dict]:
     """Run every config in the grid; resume-safe via the JSONL ledger."""
     from ..main import get_args, main as run_main
 
     spec = load_schedule(schedule_path, grid_name)
     configs = expand_grid(spec)
+    if limit is not None:
+        configs = configs[:limit]
     metric_name = spec.get("metric", {}).get("name", "test_loss")
 
     done = {}
@@ -154,16 +157,19 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--max_samples", type=int, default=None)
     parser.add_argument("--dry_run", action="store_true")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="run only the first N grid configs")
+    parser.add_argument("--traj_len", type=int, default=None)
     args = parser.parse_args(argv)
 
     overrides = {"data_dir": args.data_dir, "outf": args.outf}
-    for k in ("epochs", "batch_size", "max_samples"):
+    for k in ("epochs", "batch_size", "max_samples", "traj_len"):
         if getattr(args, k) is not None:
             overrides[k] = getattr(args, k)
 
     ledger = Path(args.outf) / f"sweep_{args.grid}.jsonl"
     results = run_sweep(args.grid, args.schedule, overrides, ledger,
-                        dry_run=args.dry_run)
+                        dry_run=args.dry_run, limit=args.limit)
     if results:
         summary = summarize(results)
         print(json.dumps(summary, indent=2))
