@@ -30,9 +30,10 @@ def load_artifact(path):
 
 
 def _flat(t):
-    """[B, T, N, 3] -> [B, T, N*3]."""
+    """[B, T, N, 3] -> [B, T, N*3] in float64 (diverged rollout samples
+    overflow float32 squares)."""
     b, tt = t.shape[0], t.shape[1]
-    return t.reshape(b, tt, -1)
+    return t.reshape(b, tt, -1).astype(np.float64)
 
 
 def mse_per_timestep(targets, preds):
@@ -62,9 +63,11 @@ def correlation_per_timestep(targets, preds):
 def energy_drift_per_timestep(energy):
     """energy: [B, T, 1] per-step conserved energy -> mean over samples of
     the squared relative drift |Et - E0| / (E0 + 1e-10), per timestep."""
+    energy = energy.astype(np.float64)
     e0 = energy[:, :1]
-    drift = np.abs((energy - e0) / (e0 + 1e-10))
-    return (drift[..., 0] ** 2).mean(axis=0)
+    with np.errstate(over="ignore", invalid="ignore"):
+        drift = np.abs((energy - e0) / (e0 + 1e-10))
+        return (drift[..., 0] ** 2).mean(axis=0)
 
 
 def mean_std_over_seeds(per_seed_curves):
