@@ -172,10 +172,11 @@ class EGNOExperiment:
 
     # ---------- jitted epoch programs ----------
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def train_epoch(self, params, opt_state, ds_arrays, idx_arrays, perm):
         """perm: [num_batches, B] sample indices. Returns new state + the
-        per-batch (mean_loss, last_step_loss)."""
+        per-batch (mean_loss, last_step_loss). params/opt_state buffers are
+        donated (updated in place on device)."""
 
         def body(carry, idx):
             params, opt_state = carry
@@ -352,7 +353,7 @@ class SEGNOExperiment:
         x, _, _ = self._forward(params, his, loc_in, vel_in, edge_attr, in_steps)
         return ((x - loc_end) ** 2).mean()
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6), donate_argnums=(1, 2))
     def train_epoch(self, params, opt_state, ds_arrays, perm, frames, in_steps):
         loc_all, vel_all, charges_all, w_all = ds_arrays
         end = (frames[-1] if in_steps else frames[0]) + self.num_timesteps

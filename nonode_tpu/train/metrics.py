@@ -75,7 +75,7 @@ def pearson_correlation_batch(x, y, n_nodes: int):
     scalar) with cut = int(0.4 * T), matching utils.py:261-321.
     """
     t = x.shape[0]
-    cut = int(0.4 * t)
+    cut = max(int(0.4 * t), 1)  # reference int(0.4*T) breaks for T < 3
     b = x.shape[1] // n_nodes
     xs = x.reshape(t, b, -1)[:cut].transpose(1, 0, 2)   # [B, cut, N*3]
     ys = y.reshape(t, b, -1)[:cut].transpose(1, 0, 2)
