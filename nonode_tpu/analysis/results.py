@@ -16,8 +16,6 @@ Semantics mirrored (definitions, not code):
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 
 

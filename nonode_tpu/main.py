@@ -29,7 +29,7 @@ from .config import load_model_config
 from .data.nbody import NBodyDataset
 from .models.egno import EGNO
 from .models.segno import SEGNO
-from .train.checkpoint import EarlyStopping, load_params, save_params
+from .train.checkpoint import EarlyStopping, load_params
 from .train.loop import EGNOExperiment, SEGNOExperiment, make_perm
 from .utils.logging import RunLogger
 

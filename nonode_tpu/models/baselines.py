@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn import MLP, Linear, Params, xavier_uniform_init
-from ..ops.dense_graph import masked_mean_j, masked_sum_j, offdiag_mask, pairwise_diff
+from ..ops.dense_graph import masked_mean_j, offdiag_mask, pairwise_diff
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,7 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..nn import MLP, Linear, Params
+from ..nn import Linear, Params
 from ..ops.dense_graph import EGNNLayer
 from ..ops.spectral import TimeConv, TimeConvX, timestep_embedding
 
