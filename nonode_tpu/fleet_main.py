@@ -1,0 +1,143 @@
+"""Seed-fleet driver: train every seed of a sweep group simultaneously.
+
+``python -m nonode_tpu.fleet_main --model egno --dataset charged \
+    --seeds 1,2,3,4,5 ...``
+
+All K seeds train as one vmapped device program (parallel/fleet.py); early
+stopping runs per seed on the host (best params tracked per seed with a
+masked update), then each seed's best checkpoint is tested with the standard
+rollout and written as a standard per-seed artifact — so the analysis
+registry sees exactly what K sequential runs would have produced, at ~1/K
+the wall-clock. EGNO only for now (SEGNO trains in seconds sequentially).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import load_model_config
+from .data.nbody import NBodyDataset
+from .models.egno import EGNO
+from .parallel.fleet import SeedFleet
+from .train.checkpoint import save_params
+from .train.loop import EGNOExperiment
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="EGNO seed-fleet trainer")
+    parser.add_argument("--model", type=str, default="egno",
+                        choices=["egno"])
+    parser.add_argument("--exp_name", type=str, default="0exp_fleet")
+    parser.add_argument("--config", type=str, default="model_confs.yaml")
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--epochs", type=int, default=1000)
+    parser.add_argument("--data_dir", type=Path, default="data")
+    parser.add_argument("--dataset", type=str, default="charged",
+                        choices=["charged", "gravity"])
+    parser.add_argument("--max_samples", type=int, default=3000)
+    parser.add_argument("--seeds", type=str, default="1,2,3,4,5")
+    parser.add_argument("--traj_len", type=int, default=20)
+    parser.add_argument("--test_interval", type=int, default=5)
+    parser.add_argument("--patience", type=int, default=15)
+    parser.add_argument("--n_balls", type=int, default=5)
+    parser.add_argument("--num_timesteps", type=int, default=None)
+    parser.add_argument("--outf", type=Path, default="results")
+    return parser.parse_args(argv)
+
+
+def main(args):
+    cfg = load_model_config(args.model, args.config)
+    if args.num_timesteps is None:
+        args.num_timesteps = cfg.num_timesteps
+    seeds = [int(s) for s in args.seeds.split(",")]
+    k = len(seeds)
+
+    ds_kw = dict(data_dir=args.data_dir, dataset=args.dataset,
+                 n_balls=args.n_balls, num_timesteps=args.num_timesteps)
+    ds_train = NBodyDataset(partition="train", max_samples=args.max_samples,
+                            **ds_kw)
+    ds_val = NBodyDataset(partition="val", **ds_kw)
+    ds_test = NBodyDataset(partition="test", traj_len=args.traj_len, **ds_kw)
+
+    model = EGNO(n_layers=cfg.n_layers, in_node_nf=cfg.in_node_nf,
+                 in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
+                 num_modes=cfg.num_modes, num_timesteps=args.num_timesteps,
+                 time_emb_dim=cfg.time_emb_dim)
+    exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay)
+    fleet = SeedFleet(exp, seeds)
+    params, opt_state = fleet.init()
+    best_params = jax.tree.map(jnp.copy, params)
+
+    rngs = [np.random.RandomState(s) for s in seeds]
+    eval_rng = np.random.RandomState(0)
+    arrays = (ds_train.loc, ds_train.vel, ds_train.charges,
+              ds_train.edge_weights)
+    val_arrays = (ds_val.loc, ds_val.vel, ds_val.charges, ds_val.edge_weights)
+    idx_train = {key: jnp.asarray(v) for key, v in
+                 exp.epoch_index_arrays(ds_train, eval_rng).items()}
+    idx_val = {key: jnp.asarray(v) for key, v in
+               exp.epoch_index_arrays(ds_val, eval_rng).items()}
+
+    best_val = np.full(k, np.inf)
+    best_epoch = np.zeros(k, int)
+    counters = np.zeros(k, int)
+    stopped = np.zeros(k, bool)
+    t0 = time.time()
+
+    for epoch in range(args.epochs):
+        perms = jnp.asarray(fleet.make_perms(rngs, len(ds_train),
+                                             args.batch_size))
+        params, opt_state, losses, last = fleet.train_epoch(
+            params, opt_state, arrays, idx_train, perms)
+        if epoch % args.test_interval == 0 and epoch > 0:
+            vperm = jnp.asarray(
+                np.arange((len(ds_val) // args.batch_size) * args.batch_size)
+                .reshape(-1, args.batch_size))
+            _, vlast = fleet.eval_epoch(params, val_arrays, idx_val, vperm)
+            val = np.asarray(vlast).mean(axis=1)           # [K]
+            improved = (val < best_val) & ~stopped
+            best_val = np.where(improved, val, best_val)
+            best_epoch = np.where(improved, epoch, best_epoch)
+            counters = np.where(improved, 0, counters + 1)
+            stopped |= counters >= args.patience
+            mask = jnp.asarray(improved, jnp.bool_)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(
+                    mask.reshape((k,) + (1,) * (p.ndim - 1)), p, b),
+                best_params, params)
+            print(f"epoch {epoch}: val {np.round(val, 5).tolist()} "
+                  f"best {np.round(best_val, 5).tolist()} "
+                  f"stopped {stopped.tolist()}")
+            if stopped.all():
+                print("All seeds early-stopped.")
+                break
+    wall = time.time() - t0
+    print(f"fleet training wall-clock: {wall:.1f}s for {k} seeds "
+          f"({wall / k:.1f}s/seed equivalent)")
+
+    out_dir = args.outf / args.exp_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, seed in enumerate(seeds):
+        p_i = jax.tree.map(lambda a: a[i], best_params)
+        stem = (f"EGNO_{args.dataset}_seed={seed}_n_part={args.n_balls}"
+                f"_n_inputs=1_dT_1_varDT=False"
+                f"_num_timesteps={args.num_timesteps}")
+        save_params(out_dir / f"{stem}.ckpt", p_i)
+        test_loss, avg_steps, artifact = exp.test_rollout(
+            p_i, ds_test, args.batch_size, np.random.RandomState(seed))
+        np.savez(out_dir / f"{stem}_results.npz", **artifact)
+        print(f"seed {seed}: best_val {best_val[i]:.5f} @ {best_epoch[i]} "
+              f"test {test_loss:.5f} "
+              f"finite {artifact['finite_fraction']:.3f} "
+              f"loss_finite {artifact['test_loss_finite']:.5f}")
+    return best_val
+
+
+if __name__ == "__main__":
+    main(get_args())
