@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import load_model_config
+from .runtime import bootstrap
+
+bootstrap()
 from .data.nbody import NBodyDataset
 from .models.egno import EGNO
 from .parallel.fleet import SeedFleet

@@ -26,6 +26,9 @@ import jax
 import numpy as np
 
 from .config import load_model_config
+from .runtime import bootstrap
+
+bootstrap()
 from .data.nbody import NBodyDataset
 from .models.egno import EGNO
 from .models.segno import SEGNO

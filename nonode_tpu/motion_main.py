@@ -23,6 +23,9 @@ import numpy as np
 import optax
 
 from .data.motion import MotionDynamicsDataset
+from .runtime import bootstrap
+
+bootstrap()
 from .models.egno import EGNO
 from .train.checkpoint import EarlyStopping, load_params
 from .train.loop import adam_l2, make_perm
