@@ -16,14 +16,22 @@ _DONE = False
 
 
 def bootstrap(cache_dir: str | None = None):
+    """Enable the persistent compile cache on platforms that support it.
+
+    DISABLED by default: on the axon TPU tunnel, enabling
+    jax_compilation_cache_dir wedges the process on the first jit (verified
+    empirically — even a trivial matmul hangs). Opt in by setting
+    NONODE_COMPILE_CACHE to a directory on CPU/GPU/standard-TPU platforms.
+    """
     global _DONE
     if _DONE:
         return
     _DONE = True
-    cache = Path(cache_dir or os.environ.get(
-        "NONODE_COMPILE_CACHE", Path.home() / ".cache" / "nonode_tpu_xla"))
+    cache = cache_dir or os.environ.get("NONODE_COMPILE_CACHE")
+    if not cache:
+        return
     try:
-        cache.mkdir(parents=True, exist_ok=True)
+        Path(cache).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:  # cache is best-effort
