@@ -97,6 +97,10 @@ class EGNOExperiment:
     model: EGNO
     lr: float = 1e-4
     weight_decay: float = 1e-8
+    remat: bool = False  # rematerialize the forward in the loss: trades
+    #                      ~30% more FLOPs for O(layers) less HBM — needed
+    #                      for large-N or seed-fleet configs (a 3-seed
+    #                      charged-20 fleet otherwise needs 22.7G > 15.75G)
 
     def __post_init__(self):
         self.optimizer = adam_l2(self.lr, self.weight_decay)
@@ -160,8 +164,10 @@ class EGNOExperiment:
     def _loss(self, params, batch):
         loc_in, vel_in, charges, w, loc_out, t_in, t_out = batch
         t_model = self.model.num_timesteps
-        x, _, _ = self._forward(params, loc_in, vel_in, charges, w, t_in,
-                                t_out[:, :t_model])
+        fwd = jax.checkpoint(self._forward, static_argnums=()) if self.remat \
+            else self._forward
+        x, _, _ = fwd(params, loc_in, vel_in, charges, w, t_in,
+                      t_out[:, :t_model])
         pred = jnp.swapaxes(x, 0, 1)                  # [B, T, N, 3]
         target = loc_out[:, :t_model]
         losses = ((pred - target) ** 2).mean(axis=(0, 2, 3))  # [T]
