@@ -51,6 +51,8 @@ def get_args(argv=None):
     parser.add_argument("--n_balls", type=int, default=5)
     parser.add_argument("--num_timesteps", type=int, default=None)
     parser.add_argument("--outf", type=Path, default="results")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient rematerialization (large N / big fleets)")
     return parser.parse_args(argv)
 
 
@@ -72,7 +74,8 @@ def main(args):
                  in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
                  num_modes=cfg.num_modes, num_timesteps=args.num_timesteps,
                  time_emb_dim=cfg.time_emb_dim)
-    exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay)
+    exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
+                         remat=args.remat)
     fleet = SeedFleet(exp, seeds)
     params, opt_state = fleet.init()
     best_params = jax.tree.map(jnp.copy, params)
