@@ -42,7 +42,10 @@ class Linear:
     def __call__(self, p: Params, x):
         # HIGHEST pins fp32 MXU passes: the TPU default (bf16 single-pass)
         # is too lossy for the physics parity targets at these tiny sizes.
-        y = jnp.matmul(x, p["w"].T, precision=jax.lax.Precision.HIGHEST)
+        # bf16 inputs (the opt-in speed mode) take the native single pass.
+        prec = (None if x.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        y = jnp.matmul(x, p["w"].T, precision=prec)
         if self.bias:
             y = y + p["b"]
         return y

@@ -58,7 +58,10 @@ class SpectralConv:
     def __call__(self, p: Params, x):
         t = x.shape[0]
         x_ft = jnp.fft.rfft(x.astype(jnp.float32), axis=0)[: self.modes]
-        w = jax.lax.complex(p["w"][..., 0], p["w"][..., 1])   # [in, out, modes]
+        # the FFT path is fp32-pinned like the reference's autocast-disabled
+        # spectral conv; weights are upcast here under bf16 compute policies
+        w32 = p["w"].astype(jnp.float32)
+        w = jax.lax.complex(w32[..., 0], w32[..., 1])         # [in, out, modes]
         out_ft = jnp.einsum("m...i,iom->m...o", x_ft, w,
                             precision=jax.lax.Precision.HIGHEST)
         # irfft zero-pads the missing high frequencies, as torch irfftn(s=[T]).
@@ -80,7 +83,9 @@ class TimeConv:
         return {"t_conv": self.conv.init(key)}
 
     def __call__(self, p: Params, x):
-        return x + jax.nn.leaky_relu(self.conv(p["t_conv"], x), 0.01)
+        h = jax.nn.leaky_relu(self.conv(p["t_conv"], x), 0.01)
+        return x + h.astype(x.dtype)   # keep the compute dtype through the
+        #                                residual (the conv itself is fp32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,4 +106,4 @@ class TimeConvX:
         return {"t_conv": self.conv.init(key)}
 
     def __call__(self, p: Params, x):
-        return x + self.conv(p["t_conv"], x)
+        return x + self.conv(p["t_conv"], x).astype(x.dtype)

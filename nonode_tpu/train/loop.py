@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +102,10 @@ class EGNOExperiment:
     #                      ~30% more FLOPs for O(layers) less HBM — needed
     #                      for large-N or seed-fleet configs (a 3-seed
     #                      charged-20 fleet otherwise needs 22.7G > 15.75G)
+    compute_dtype: Any = None  # e.g. jnp.bfloat16: cast params+batch for the
+    #                            fwd/bwd (fp32 master weights + Adam state,
+    #                            fp32 loss). Off by default — fp32 is the
+    #                            physics-parity mode; bf16 is the speed mode.
 
     def __post_init__(self):
         self.optimizer = adam_l2(self.lr, self.weight_decay)
@@ -164,10 +169,15 @@ class EGNOExperiment:
     def _loss(self, params, batch):
         loc_in, vel_in, charges, w, loc_out, t_in, t_out = batch
         t_model = self.model.num_timesteps
+        if self.compute_dtype is not None:
+            cast = lambda a: a.astype(self.compute_dtype)
+            params = jax.tree.map(cast, params)
+            loc_in, vel_in, charges, w = map(cast, (loc_in, vel_in, charges, w))
         fwd = jax.checkpoint(self._forward, static_argnums=()) if self.remat \
             else self._forward
         x, _, _ = fwd(params, loc_in, vel_in, charges, w, t_in,
                       t_out[:, :t_model])
+        x = x.astype(jnp.float32)
         pred = jnp.swapaxes(x, 0, 1)                  # [B, T, N, 3]
         target = loc_out[:, :t_model]
         losses = ((pred - target) ** 2).mean(axis=(0, 2, 3))  # [T]
