@@ -129,6 +129,7 @@ def main(args):
 
     out_dir = args.outf / args.exp_name
     out_dir.mkdir(parents=True, exist_ok=True)
+    records = []
     for i, seed in enumerate(seeds):
         p_i = jax.tree.map(lambda a: a[i], best_params)
         stem = (f"EGNO_{args.dataset}_seed={seed}_n_part={args.n_balls}"
@@ -142,7 +143,13 @@ def main(args):
               f"test {test_loss:.5f} "
               f"finite {artifact['finite_fraction']:.3f} "
               f"loss_finite {artifact['test_loss_finite']:.5f}")
-    return best_val
+        records.append({
+            "seed": seed, "best_val_loss": float(best_val[i]),
+            "best_epoch": int(best_epoch[i]), "test_loss": float(test_loss),
+            "finite_fraction": float(artifact["finite_fraction"]),
+            "test_loss_finite": float(artifact["test_loss_finite"]),
+        })
+    return records
 
 
 if __name__ == "__main__":

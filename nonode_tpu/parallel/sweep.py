@@ -86,10 +86,27 @@ def load_schedule(path: str | None, grid: str) -> dict:
     return DEFAULT_SCHEDULE[grid]
 
 
+def group_for_fleet(configs: list[dict]) -> dict:
+    """Group EGNO single-input configs by everything-but-seed -> seed list.
+    These groups can train as one vmapped fleet program each."""
+    groups = {}
+    for cfg in configs:
+        if cfg.get("model") != "egno" or cfg.get("num_inputs", 1) != 1 \
+                or cfg.get("varDT", False):
+            continue
+        key = json.dumps({k: v for k, v in cfg.items()
+                          if k not in ("seed", "exp_name")}, sort_keys=True)
+        groups.setdefault(key, []).append(cfg)
+    return {k: v for k, v in groups.items() if len(v) > 1}
+
+
 def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
               ledger_path: Path, dry_run: bool = False,
-              limit: int | None = None) -> list[dict]:
-    """Run every config in the grid; resume-safe via the JSONL ledger."""
+              limit: int | None = None, use_fleet: bool = False) -> list[dict]:
+    """Run every config in the grid; resume-safe via the JSONL ledger.
+
+    With use_fleet=True, EGNO single-input seed groups train as one vmapped
+    fleet program (parallel/fleet.py) — K seeds for ~1 seed's wall-clock."""
     from ..main import get_args, main as run_main
 
     spec = load_schedule(schedule_path, grid_name)
@@ -106,6 +123,39 @@ def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
             done[rec["config_id"]] = rec
 
     results = []
+
+    if use_fleet and not dry_run:
+        from ..fleet_main import get_args as fleet_args, main as fleet_run
+        for key, group in group_for_fleet(configs).items():
+            pending = [c for c in group if config_id(c) not in done]
+            if not pending:
+                continue
+            base = pending[0]
+            seeds = ",".join(str(c["seed"]) for c in pending)
+            argv = ["--dataset", str(base["dataset"]),
+                    "--n_balls", str(base["n_balls"]),
+                    "--seeds", seeds,
+                    "--exp_name", str(base.get("exp_name", "_exp_new")),
+                    "--outf", str(overrides.get("outf", "results")),
+                    "--data_dir", str(overrides.get("data_dir", "data"))]
+            for k in ("epochs", "batch_size", "max_samples", "traj_len"):
+                if k in overrides:
+                    argv += [f"--{k}", str(overrides[k])]
+            print(f"FLEET {base['model']}/{base['dataset']}/n={base['n_balls']} "
+                  f"seeds [{seeds}]")
+            t0 = time.time()
+            records = fleet_run(fleet_args(argv))
+            wall = round(time.time() - t0, 1)
+            for cfg, rec in zip(pending, records):
+                out = {"config_id": config_id(cfg), "config": cfg,
+                       metric_name: rec["test_loss"],
+                       "best_val_loss": rec["best_val_loss"],
+                       "best_epoch": rec["best_epoch"],
+                       "wall_s": wall, "fleet": True}
+                with open(ledger_path, "a") as f:
+                    f.write(json.dumps(out) + "\n")
+                done[out["config_id"]] = out
+
     for i, cfg in enumerate(configs):
         cid = config_id(cfg)
         if cid in done:
@@ -159,6 +209,8 @@ def main(argv=None):
     parser.add_argument("--dry_run", action="store_true")
     parser.add_argument("--limit", type=int, default=None,
                         help="run only the first N grid configs")
+    parser.add_argument("--use_fleet", action="store_true",
+                        help="train EGNO seed groups as vmapped fleets")
     parser.add_argument("--traj_len", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -169,7 +221,8 @@ def main(argv=None):
 
     ledger = Path(args.outf) / f"sweep_{args.grid}.jsonl"
     results = run_sweep(args.grid, args.schedule, overrides, ledger,
-                        dry_run=args.dry_run, limit=args.limit)
+                        dry_run=args.dry_run, limit=args.limit,
+                        use_fleet=args.use_fleet)
     if results:
         summary = summarize(results)
         print(json.dumps(summary, indent=2))
