@@ -63,6 +63,18 @@ def main(args):
     seeds = [int(s) for s in args.seeds.split(",")]
     k = len(seeds)
 
+    # HBM guard: the fleet's peak activation memory scales with
+    # K * batch * N^2; a 3-seed charged-20 fleet at B=256 needs 22.7G on a
+    # 16G chip. Scale the batch down and enable remat instead of OOMing.
+    pressure = k * args.batch_size * args.n_balls ** 2
+    limit = 3 * 128 * 400          # validated charged-20 config
+    if args.n_balls >= 20 and pressure > limit:
+        new_b = max(32, int(args.batch_size * limit / pressure // 32 * 32))
+        print(f"HBM guard: batch {args.batch_size} -> {new_b}, remat on "
+              f"(K={k}, N={args.n_balls})")
+        args.batch_size = new_b
+        args.remat = True
+
     ds_kw = dict(data_dir=args.data_dir, dataset=args.dataset,
                  n_balls=args.n_balls, num_timesteps=args.num_timesteps)
     ds_train = NBodyDataset(partition="train", max_samples=args.max_samples,
