@@ -151,6 +151,8 @@ def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
                        metric_name: rec["test_loss"],
                        "best_val_loss": rec["best_val_loss"],
                        "best_epoch": rec["best_epoch"],
+                       "test_loss_finite": rec.get("test_loss_finite"),
+                       "finite_fraction": rec.get("finite_fraction"),
                        "wall_s": wall, "fleet": True}
                 with open(ledger_path, "a") as f:
                     f.write(json.dumps(out) + "\n")
