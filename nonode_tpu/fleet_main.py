@@ -67,7 +67,9 @@ def main(args):
     # K * batch * N^2; a 3-seed charged-20 fleet at B=256 needs 22.7G on a
     # 16G chip. Scale the batch down and enable remat instead of OOMing.
     pressure = k * args.batch_size * args.n_balls ** 2
-    limit = 3 * 128 * 400          # validated charged-20 config
+    # empirically: K*B*N^2 of 3*128*400 fits; 5*64*400 does NOT (the (8,128)
+    # tiling pads the N=20 dims 2x) — keep a conservative margin
+    limit = 2 * 128 * 400
     if args.n_balls >= 20 and pressure > limit:
         new_b = max(32, int(args.batch_size * limit / pressure // 32 * 32))
         print(f"HBM guard: batch {args.batch_size} -> {new_b}, remat on "
