@@ -24,6 +24,44 @@ import jax
 import jax.numpy as jnp
 
 
+def tot_energy_spring_batch(loc, vel, edges, interaction_strength=0.1):
+    """Spring system energy (utils.py:88-99): K = 0.5 sum |v|^2,
+    U = 0.5 * k * sum_{i != j} w_ij * r_ij^2 / 2.
+    loc, vel: [..., N, 3]; edges: [..., N, N] spring constants."""
+    k = 0.5 * (vel ** 2).sum(axis=(-1, -2))
+    diff = loc[..., :, None, :] - loc[..., None, :, :]
+    r2 = (diff ** 2).sum(-1)
+    n = loc.shape[-2]
+    mask = 1.0 - jnp.eye(n)
+    u = (0.5 * interaction_strength * edges * r2 * mask / 2.0).sum(axis=(-1, -2))
+    return k + u
+
+
+def cumulative_random_tensor_indices(rng, size, start, end):
+    """Random ints in [start, end) and their cumulative sum
+    (root utils.py:33-39). rng: np.random.RandomState."""
+    import numpy as _np
+    arr = rng.randint(start, end, size=size)
+    return _np.cumsum(arr), arr
+
+
+def cumulative_random_tensor_indices_capped(rng, n, start, end, maximum=100):
+    """Random int tensor rescaled so its cumulative sum hits `maximum`
+    (root utils.py:42-84). Returns (cumulative, adjusted array)."""
+    import numpy as _np
+    arr = rng.randint(start, end, size=n)
+    while arr.sum() == 0:
+        arr = rng.randint(start, end, size=n)
+    scaled = _np.round(arr.astype(float) / arr.sum() * maximum).astype(int)
+    diff = maximum - scaled.sum()
+    if diff != 0:
+        for i in rng.permutation(n):
+            if start <= scaled[i] + diff < end:
+                scaled[i] += diff
+                break
+    return _np.cumsum(scaled), scaled
+
+
 def tot_energy_charged_batch(loc, vel, edges, interaction_strength=1.0):
     """loc, vel: [..., N, 3]; edges: [..., N, N] interaction products."""
     k = 0.5 * (vel ** 2).sum(axis=(-1, -2))

@@ -192,6 +192,30 @@ class TestMetrics:
         assert e2.shape == (2,)
 
 
+class TestAuxMetrics:
+    def test_spring_energy_matches_sim(self):
+        from nonode_tpu.sim.simulators import SpringSim
+        from nonode_tpu.train.metrics import tot_energy_spring_batch
+        sim = SpringSim(n_balls=5)
+        loc, vel, edges, _ = sim.sample_trajectory(jax.random.PRNGKey(0),
+                                                   T=500, sample_freq=100)
+        e_sim = sim.energy(loc[0], vel[0], edges)
+        e_m = tot_energy_spring_batch(loc[0], vel[0], edges)
+        np.testing.assert_allclose(float(e_sim), float(e_m), rtol=1e-5)
+
+    def test_cumulative_random_indices(self):
+        from nonode_tpu.train.metrics import (
+            cumulative_random_tensor_indices,
+            cumulative_random_tensor_indices_capped)
+        rng = np.random.RandomState(0)
+        cum, arr = cumulative_random_tensor_indices(rng, 5, 1, 4)
+        assert (arr >= 1).all() and (arr < 4).all()
+        np.testing.assert_array_equal(cum, np.cumsum(arr))
+        cum, arr = cumulative_random_tensor_indices_capped(rng, 6, 1, 40,
+                                                           maximum=100)
+        assert cum[-1] == 100
+
+
 class TestPerm:
     def test_drop_last(self):
         perm = make_perm(np.random.RandomState(0), 23, 8)
