@@ -168,6 +168,25 @@ class TestMotionRunParity:
         np.testing.assert_allclose(np.asarray(ds.x_t[:, -1]),
                                    np.asarray(ds1.x_t), atol=1e-6)
 
+    def test_split_regeneration_matches_saved_reference_split(self, tmp_path):
+        """Our split generation (np.random.seed(100), dataset.py:51-80
+        semantics) must reproduce the reference's committed split_run.pkl
+        bit-for-bit when regenerated from scratch."""
+        import pickle
+        import shutil
+        from pathlib import Path
+        from nonode_tpu.data.motion import _load_split
+        ref_dir = Path(REF_MOTION)
+        with open(ref_dir / "split_run.pkl", "rb") as f:
+            ref_split = pickle.load(f)
+        shutil.copy(ref_dir / "motion_run.pkl", tmp_path / "motion_run.pkl")
+        ours = _load_split(tmp_path, "run")
+        for part in range(3):
+            assert set(ref_split[part]) == set(ours[part])
+            for k in ref_split[part]:
+                np.testing.assert_array_equal(
+                    np.asarray(ref_split[part][k]), np.asarray(ours[part][k]))
+
     def test_egno_trains_on_motion(self):
         """End-to-end: EGNO decodes mocap frames with the skeleton edge mask."""
         import jax
