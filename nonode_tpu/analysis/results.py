@@ -20,11 +20,55 @@ import numpy as np
 
 
 def load_artifact(path):
-    """Load a trajectory artifact npz -> dict of arrays
+    """Load a trajectory artifact -> dict of arrays
     (targets [B, T, N, 3], preds [B, Tc, N, 3], energy_conservation
-    [B, Tc, 1], test_loss scalar)."""
+    [B, Tc, 1], test_loss scalar).
+
+    Accepts both nonode_tpu ``.npz`` artifacts and the reference's
+    ``*_results.pt`` torch pickles (main.py:188-191), so reference and
+    rebuild curves land on one plot."""
+    if str(path).endswith((".pt", ".pth", ".pkl")):
+        return load_reference_results(path)
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+def load_reference_results(path):
+    """Load a reference trajectory artifact (torch pickle of a
+    torch_geometric ``Data`` holding targets/preds/energy_conservation/
+    test_loss, main.py:190). Works without torch_geometric installed: the
+    compat stubs provide a picklable Data class, and real-PyG pickles are
+    absorbed by scanning the object graph for the artifact keys."""
+    from ..compat.ref_stubs import install
+    install()
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(v):
+        if torch.is_tensor(v):
+            return v.detach().cpu().numpy()
+        return v
+
+    # stub Data / plain dict / namespace-ish
+    for d in (obj if isinstance(obj, dict) else None,
+              getattr(obj, "__dict__", None),
+              getattr(getattr(obj, "_store", None), "__dict__", None)):
+        if d and "targets" in d and "preds" in d:
+            out = {"targets": to_np(d["targets"]), "preds": to_np(d["preds"])}
+            # EGNO run_epoch emits 'energy_conservation' + 'test_loss'
+            # (main_simulation_simple_no.py:303); SEGNO emits 'energies' and
+            # merges its res dict, so the scalar is loss/counter
+            # (train_nbody.py:191-195)
+            e = d.get("energy_conservation", d.get("energies"))
+            if e is not None:
+                out["energy_conservation"] = to_np(e)
+            if "test_loss" in d:
+                out["test_loss"] = to_np(d["test_loss"])
+            elif "loss" in d and d.get("counter"):
+                out["test_loss"] = float(d["loss"]) / float(d["counter"])
+            return out
+    raise ValueError(f"unrecognized reference artifact layout in {path}")
 
 
 def _flat(t):
