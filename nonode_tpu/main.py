@@ -168,6 +168,19 @@ def main(args):
             return params, opt_state, float(np.mean(np.asarray(last)))
         else:
             arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+            if args.varDT and args.num_inputs > 1:
+                # per-batch segment resampling, reference granularity
+                # (train_nbody.py:97-116)
+                steps = exp.sample_steps_batched(ds, rng, True, len(perm))
+                frames = jax.numpy.asarray(exp.frames_from_steps(ds, steps))
+                mi = exp.max_interior(ds)
+                if train:
+                    params, opt_state, losses = exp.train_epoch_dynamic(
+                        params, opt_state, arrays, perm, frames, mi)
+                else:
+                    losses = exp.eval_epoch_dynamic(params, arrays, perm,
+                                                    mi, frames)
+                return params, opt_state, float(np.mean(np.asarray(losses)))
             steps = exp.sample_steps(ds, rng, args.varDT)
             frames, in_steps, _ = exp.input_frames(ds, steps)
             if train:

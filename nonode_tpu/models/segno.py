@@ -106,6 +106,53 @@ class SEGNO:
         (h, x, v), _ = jax.lax.scan(body, (h, x, v), length=steps)
         return h, x, v
 
+    def integrate_masked(self, p: Params, h, x, v, edge_attr, steps,
+                         max_steps: int, edge_mask=None):
+        """``integrate`` with a TRACED step count: runs ``max_steps`` GCL
+        applications and masks updates past ``steps`` (bit-identical result,
+        reverse-mode differentiable — a dynamic-trip-count while_loop is
+        not). Enables per-batch varDT segment lengths inside one jitted
+        epoch program (the reference resamples per batch,
+        SEGNO/train_nbody.py:100)."""
+        inv = 1.0 / steps.astype(jnp.float32)
+
+        def body(carry, i):
+            h, x, v = carry
+            h2, x2, v2 = self.gcl(p["gcl"], h, x, v, edge_attr, inv,
+                                  edge_mask=edge_mask)
+            keep = i < steps
+            return (jnp.where(keep, h2, h), jnp.where(keep, x2, x),
+                    jnp.where(keep, v2, v)), None
+
+        (h, x, v), _ = jax.lax.scan(body, (h, x, v), jnp.arange(max_steps))
+        return h, x, v
+
+    def forward_dynamic(self, p: Params, his, x, v, edge_attr, seg_lens,
+                        T: int = 10, max_interior: int = None,
+                        edge_mask=None):
+        """Multi-input forward with traced per-batch segment lengths.
+
+        his/x/v: [L, B, N, .]; seg_lens: [L-1] int array (traced) — the
+        inter-snapshot integration lengths diff(in_steps); the final segment
+        is the static T (model.py:71: steps = diff(in_steps) + [T]).
+        ``max_interior`` is the static upper bound on any interior segment
+        (varDT samples in [1, T//L), train_nbody.py:100).
+        Returns (x, h, v) like __call__.
+        """
+        L = x.shape[0]
+        assert max_interior is not None and L >= 2
+        h = self.embedding(p["embedding"], his)
+        h_, x_, v_ = h[0], x[0], v[0]
+        for i in range(L - 1):
+            hi, xi, vi = self.integrate_masked(
+                p, h_, x_, v_, edge_attr, seg_lens[i], max_interior,
+                edge_mask=edge_mask)
+            h_, x_, v_ = self.fuse(p, (h[i + 1], x[i + 1], v[i + 1]),
+                                   (hi, xi, vi))
+        h_, x_, v_ = self.integrate(p, h_, x_, v_, edge_attr, T,
+                                    edge_mask=edge_mask)
+        return x_, h_, v_
+
     def fuse(self, p: Params, obs, pred):
         """Blend a predicted state with the next observed snapshot."""
         (ho, xo, vo), (hp, xp, vp) = obs, pred

@@ -322,9 +322,7 @@ class SEGNOExperiment:
 
     def sample_steps(self, ds: NBodyDataset, rng: np.random.RandomState,
                      varDT: bool):
-        """Per-epoch input segment lengths (train_nbody.py:97-108). Shared by
-        the whole epoch here (the reference resamples per batch with the same
-        distribution)."""
+        """One draw of input segment lengths (train_nbody.py:97-102)."""
         L, T = ds.num_inputs, self.num_timesteps
         if L <= 1:
             return None
@@ -333,6 +331,38 @@ class SEGNOExperiment:
         else:
             steps = [T // L] * (L - 1)
         return tuple(steps)
+
+    def max_interior(self, ds: NBodyDataset) -> int:
+        """Static upper bound on any varDT interior segment length
+        (train_nbody.py:100 samples in [1, T//L))."""
+        return max(self.num_timesteps // ds.num_inputs, 2)
+
+    def sample_steps_batched(self, ds: NBodyDataset,
+                             rng: np.random.RandomState, varDT: bool,
+                             num_batches: int):
+        """PER-BATCH input segment lengths [NB, L-1], matching the
+        reference's per-batch resampling granularity inside run_epoch
+        (train_nbody.py:97-102). Returns None for single-input."""
+        L, T = ds.num_inputs, self.num_timesteps
+        if L <= 1:
+            return None
+        if varDT:
+            return rng.randint(1, max(T // L, 2),
+                               size=(num_batches, L - 1)).astype(np.int32)
+        return np.full((num_batches, L - 1), T // L, np.int32)
+
+    def frames_from_steps(self, ds: NBodyDataset, steps: np.ndarray):
+        """Vectorized absolute input frames per batch
+        (train_nbody.py:103-114): frames [NB, L], ascending; pushed to
+        frame 0 when the window would start before the trajectory."""
+        nb = steps.shape[0]
+        cum = np.cumsum(
+            np.concatenate([np.zeros((nb, 1), np.int32), steps], axis=1),
+            axis=1)
+        idxs = np.flip(ds.start - cum, axis=1)
+        mins = idxs.min(axis=1, keepdims=True)
+        idxs = np.where(mins < 0, idxs - mins, idxs)
+        return np.ascontiguousarray(idxs).astype(np.int32)
 
     def input_frames(self, ds: NBodyDataset, steps):
         """Absolute input frames + in_steps offsets (train_nbody.py:103-114)."""
@@ -405,6 +435,60 @@ class SEGNOExperiment:
         _, losses = jax.lax.scan(body, None, perm)
         return losses
 
+    # ---------- per-batch varDT path (dynamic segment lengths) ----------
+
+    def _make_batch_dynamic(self, ds_arrays, idx, frames_b):
+        """Batch gather with TRACED input frames frames_b [L] (ascending)."""
+        loc_all, vel_all, charges_all, w_all = ds_arrays
+        loc_in = loc_all[idx[None, :], frames_b[:, None]]   # [L, B, N, 3]
+        vel_in = vel_all[idx[None, :], frames_b[:, None]]
+        loc_end = loc_all[idx, frames_b[-1] + self.num_timesteps]
+        return loc_in, vel_in, charges_all[idx], w_all[idx], loc_end
+
+    def _loss_dynamic(self, params, batch, seg_lens, max_interior):
+        loc_in, vel_in, charges, w, loc_end = batch
+        his, edge_attr = self._features(loc_in, vel_in, charges, w)
+        x, _, _ = self.model.forward_dynamic(
+            params, his, loc_in, vel_in, edge_attr, seg_lens,
+            T=self.num_timesteps, max_interior=max_interior)
+        return ((x - loc_end) ** 2).mean()
+
+    @functools.partial(jax.jit, static_argnums=(0, 6),
+                       donate_argnums=(1, 2))
+    def train_epoch_dynamic(self, params, opt_state, ds_arrays, perm, frames,
+                            max_interior):
+        """Multi-input epoch with PER-BATCH segment lengths (the reference's
+        varDT granularity, train_nbody.py:97-116). frames: [NB, L] absolute
+        input frames per batch; segment lengths are their diffs."""
+
+        def body(carry, scan_in):
+            idx, frames_b = scan_in
+            params, opt_state = carry
+            batch = self._make_batch_dynamic(ds_arrays, idx, frames_b)
+            seg_lens = jnp.diff(frames_b)
+            loss, grads = jax.value_and_grad(self._loss_dynamic)(
+                params, batch, seg_lens, max_interior)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (perm, frames))
+        return params, opt_state, losses
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def eval_epoch_dynamic(self, params, ds_arrays, perm, max_interior,
+                           frames):
+        def body(_, scan_in):
+            idx, frames_b = scan_in
+            batch = self._make_batch_dynamic(ds_arrays, idx, frames_b)
+            return None, self._loss_dynamic(params, batch,
+                                            jnp.diff(frames_b), max_interior)
+
+        _, losses = jax.lax.scan(body, None, (perm, frames))
+        return losses
+
     def rollout(self, params, batch, traj_len: int, in_steps, dataset_kind: str):
         """Autoregressive rollout (train_nbody.py:200-236): feed each window's
         prediction back; with multi-input keep a sliding window of the last L
@@ -466,22 +550,34 @@ class SEGNOExperiment:
 
     def test_rollout(self, params, ds: NBodyDataset, batch_size: int,
                      rng: np.random.RandomState, traj_len: int, varDT: bool):
-        steps = self.sample_steps(ds, rng, varDT)
-        frames, in_steps, end = self.input_frames(ds, steps)
         t = self.num_timesteps
-        start = int(frames[-1]) if in_steps else int(frames[0])
-        pred_indices = start + np.cumsum([t] * traj_len)
-        pred_indices = pred_indices[pred_indices < ds.n_frames]
-        tl = len(pred_indices)
+        # Uniform window count across batches, sized for the worst-case
+        # start any batch's sampled window could have (the reference
+        # truncates per batch, train_nbody.py:137-138, and would then crash
+        # concatenating unequal horizons — documented divergence).
+        L = ds.num_inputs
+        max_start = ds.start if L <= 1 else max(
+            ds.start, (L - 1) * (self.max_interior(ds) - 1))
+        tl = max(min(traj_len, (ds.n_frames - 1 - max_start) // t), 1)
 
         ds_arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
-        roll_fn = jax.jit(
-            lambda p, b: self.rollout(p, b, tl, in_steps, ds.dataset))
+        roll_cache = {}
 
         n = len(ds)
         tot_loss = tot_steps = count = 0.0
         targets_l, preds_l, energies_l = [], [], []
         for s0 in range(0, n - batch_size + 1, batch_size):
+            # per-batch window resampling, reference granularity
+            # (train_nbody.py:97-116 runs inside the batch loop)
+            steps = self.sample_steps(ds, rng, varDT)
+            frames, in_steps, end = self.input_frames(ds, steps)
+            start = int(frames[-1]) if in_steps else int(frames[0])
+            pred_indices = start + np.cumsum([t] * tl)
+            if in_steps not in roll_cache:
+                roll_cache[in_steps] = jax.jit(
+                    lambda p, b, ins=in_steps: self.rollout(
+                        p, b, tl, ins, ds.dataset))
+            roll_fn = roll_cache[in_steps]
             idx = jnp.arange(s0, s0 + batch_size)
             batch = self._make_batch(ds_arrays, idx, tuple(int(f) for f in frames),
                                      in_steps, int(frames[-1]) + t)

@@ -146,6 +146,134 @@ class TestSEGNOTraining:
         assert end == 36
 
 
+class TestSEGNODynamicSampling:
+    """Per-batch varDT segment resampling — the reference resamples inside
+    the batch loop (SEGNO/train_nbody.py:97-116); the dynamic epoch path
+    reproduces that granularity inside one jitted scan."""
+
+    def test_integrate_masked_equals_integrate(self):
+        model = SEGNO(hidden_nf=8, n_layers=4)
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        b, n = 3, 5
+        h = jnp.asarray(rng.randn(b, n, 8), jnp.float32)
+        x = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+        v = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+        ea = jnp.asarray(rng.randn(b, n, n, 2), jnp.float32)
+        for k in (1, 3, 5):
+            hs, xs, vs = model.integrate(params, h, x, v, ea, k)
+            hm, xm, vm = model.integrate_masked(params, h, x, v, ea,
+                                                jnp.int32(k), 5)
+            np.testing.assert_array_equal(np.asarray(xs), np.asarray(xm))
+            np.testing.assert_array_equal(np.asarray(vs), np.asarray(vm))
+            np.testing.assert_array_equal(np.asarray(hs), np.asarray(hm))
+
+    def test_forward_dynamic_matches_static(self):
+        model = SEGNO(hidden_nf=8, n_layers=4, multiple_agg="attn")
+        params = model.init(jax.random.PRNGKey(1))
+        rng = np.random.RandomState(1)
+        L, b, n = 3, 2, 5
+        his = jnp.asarray(rng.randn(L, b, n, 1), jnp.float32)
+        x = jnp.asarray(rng.randn(L, b, n, 3), jnp.float32)
+        v = jnp.asarray(rng.randn(L, b, n, 3), jnp.float32)
+        ea = jnp.asarray(rng.randn(b, n, n, 2), jnp.float32)
+        xs, hs, vs = model(params, his, x, v, ea, T=6, in_steps=(0, 2, 5))
+        xd, hd, vd = model.forward_dynamic(params, his, x, v, ea,
+                                           jnp.asarray([2, 3]), T=6,
+                                           max_interior=4)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xd),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
+                                   rtol=0, atol=0)
+
+    def test_train_epoch_dynamic_matches_static(self, charged_ds):
+        """With constant (non-varDT) steps both epoch programs must produce
+        the same params and losses."""
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=6, num_inputs=2)
+        model = SEGNO(hidden_nf=8, n_layers=4, multiple_agg="attn")
+        exp = SEGNOExperiment(model, num_timesteps=6, lr=1e-3)
+        params, opt_state = exp.init(jax.random.PRNGKey(2))
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        perm = make_perm(np.random.RandomState(0), len(ds), 8)
+
+        frames_t, in_steps, _ = exp.input_frames(ds, (3,))
+        p_s, _, losses_s = exp.train_epoch(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
+            arrays, perm, frames_t, in_steps)
+
+        steps = exp.sample_steps_batched(ds, np.random.RandomState(0), False,
+                                         len(perm))
+        frames = jnp.asarray(exp.frames_from_steps(ds, steps))
+        np.testing.assert_array_equal(np.asarray(frames[0]), frames_t)
+        p_d, _, losses_d = exp.train_epoch_dynamic(
+            params, opt_state, arrays, perm, frames, exp.max_interior(ds))
+
+        np.testing.assert_allclose(np.asarray(losses_s), np.asarray(losses_d),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(p_s), jax.tree.leaves(p_d)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_sampler_parity_reference_transcription(self):
+        """Pinned parity with the reference's per-batch sampling, transcribed
+        from SEGNO/train_nbody.py:100-114 (varDT branch + frame arithmetic),
+        for both the charged (start=30, never pushed) and gravity (start=0,
+        always pushed) regimes."""
+        from types import SimpleNamespace
+        exp = SEGNOExperiment(SEGNO(hidden_nf=8), num_timesteps=10)
+        for start in (30, 0):
+            ds = SimpleNamespace(num_inputs=3, start=start)
+            rng_ours = np.random.RandomState(7)
+            rng_ref = np.random.RandomState(7)
+            nb = 16
+            steps = exp.sample_steps_batched(ds, rng_ours, True, nb)
+            frames = exp.frames_from_steps(ds, steps)
+            for b in range(nb):
+                # --- transcription of train_nbody.py:100-114 ---
+                st = rng_ref.randint(1, 10 // 3, size=3 - 1).tolist()
+                indices = np.flip(start - np.cumsum([0] + st))
+                if (indices < 0).any():
+                    indices = indices + -indices.min()
+                end = indices[-1] + 10
+                # -----------------------------------------------
+                np.testing.assert_array_equal(frames[b], indices)
+                assert frames[b, -1] + 10 == end
+
+    def test_rollout_varDT_multi_input(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=6, num_inputs=2, traj_len=2)
+        model = SEGNO(hidden_nf=8, n_layers=4, multiple_agg="attn")
+        exp = SEGNOExperiment(model, num_timesteps=6)
+        params, _ = exp.init(jax.random.PRNGKey(4))
+        test_loss, _, artifact = exp.test_rollout(
+            params, ds, batch_size=8, rng=np.random.RandomState(0),
+            traj_len=2, varDT=True)
+        assert np.isfinite(test_loss)
+        assert artifact["preds"].shape[1] == 2
+
+    def test_varDT_epoch_trains(self, charged_ds):
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=6, num_inputs=2)
+        model = SEGNO(hidden_nf=8, n_layers=4, multiple_agg="attn")
+        exp = SEGNOExperiment(model, num_timesteps=6, lr=2e-3)
+        params, opt_state = exp.init(jax.random.PRNGKey(5))
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        rng = np.random.RandomState(0)
+        first = last = None
+        for _ in range(10):
+            perm = make_perm(rng, len(ds), 8)
+            steps = exp.sample_steps_batched(ds, rng, True, len(perm))
+            frames = jnp.asarray(exp.frames_from_steps(ds, steps))
+            params, opt_state, losses = exp.train_epoch_dynamic(
+                params, opt_state, arrays, perm, frames, exp.max_interior(ds))
+            loss = float(np.mean(np.asarray(losses)))
+            first = loss if first is None else first
+            last = loss
+        assert np.isfinite(last)
+        assert last < first, f"no learning: {first} -> {last}"
+
+
 class TestMetrics:
     def test_pearson_perfect_correlation(self):
         rng = np.random.RandomState(0)
