@@ -342,6 +342,74 @@ class TestSEGNOParity:
         np.testing.assert_allclose(np.asarray(hj).reshape(-1, hd), ht.numpy(),
                                    rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("num_prev", [1, 2])
+    def test_rollout_loop_matches_reference(self, ref, num_prev):
+        """Step-for-step autoregressive rollout parity against the
+        reference's ACTUAL rollout_fn (SEGNO/train_nbody.py:200-236),
+        including the sliding multi-input window (:220-226). The reference
+        model runs under the intended-semantics patch (its live forward is
+        untrainable/identity — pinned above); the patch is reverted after."""
+        torch = ref.torch
+        from nonode_tpu.compat.ref_runner import (
+            install_segno_intended_semantics)
+        from nonode_tpu.train.loop import SEGNOExperiment
+        import SEGNO.models.model as segmod
+        from SEGNO.train_nbody import rollout_fn
+
+        b, n, hd, t, traj_len, L = 2, 5, 32, 5, 3, num_prev
+        agg = "attn" if L > 1 else None
+        tm = ref.TorchSEGNO(in_node_nf=1, in_edge_nf=2, hidden_nf=hd,
+                            n_layers=8, recurrent=True,
+                            act_fn=torch.nn.SiLU(), multiple_agg=agg)
+        model = SEGNO(in_node_nf=1, in_edge_nf=2, hidden_nf=hd, n_layers=8,
+                      multiple_agg=agg)
+        p = segno_params_from_state_dict(tm.state_dict())
+        exp = SEGNOExperiment(model, num_timesteps=t)
+
+        rng = np.random.RandomState(5)
+        x = rng.randn(L, b, n, 3).astype(np.float32)
+        v = rng.randn(L, b, n, 3).astype(np.float32)
+        q = rng.choice([-1.0, 1.0], size=(b, n, 1)).astype(np.float32)
+        w = np.einsum("bik,bjk->bij", q, q)[..., None].astype(np.float32)
+        in_steps = None if L == 1 else (-2, 0)
+
+        rows, cols = sparse_edges(b, n)
+        edges_t = [torch.tensor(rows), torch.tensor(cols)]
+        q_t = torch.tensor(q.reshape(-1, 1))
+        if L == 1:
+            loc_t = torch.tensor(x[0].reshape(-1, 3))
+            vel_t = torch.tensor(v[0].reshape(-1, 3))
+            h_t = torch.sqrt((vel_t ** 2).sum(1)).unsqueeze(1)
+            ld = ((loc_t[rows] - loc_t[cols]) ** 2).sum(1).unsqueeze(1)
+            ins_t = None
+        else:
+            loc_t = torch.tensor(x.transpose(1, 2, 0, 3).reshape(-1, L, 3))
+            vel_t = torch.tensor(v.transpose(1, 2, 0, 3).reshape(-1, L, 3))
+            h_t = torch.sqrt((vel_t ** 2).sum(-1)).unsqueeze(-1)
+            ld = ((loc_t[rows, -1] - loc_t[cols, -1]) ** 2).sum(1).unsqueeze(1)
+            ins_t = torch.tensor(list(in_steps)).int()
+        ea_t = torch.cat([q_t[rows] * q_t[cols], ld], 1)
+
+        old_forward = segmod.SEGNO.forward
+        install_segno_intended_semantics()
+        try:
+            with torch.no_grad():
+                preds_t, _ = rollout_fn(
+                    tm, h_t, loc_t, edges_t, vel_t, ea_t, batch=None,
+                    traj_len=traj_len, num_steps=[t] * traj_len,
+                    num_prev=L, charges=q_t, energy_fun=None, in_steps=ins_t)
+        finally:
+            segmod.SEGNO.forward = old_forward
+            segmod.SEGNO._nonode_intended = False
+
+        batch = (jnp.asarray(x[0] if L == 1 else x),
+                 jnp.asarray(v[0] if L == 1 else v),
+                 jnp.asarray(q), jnp.asarray(w), None)
+        locs_pred, _ = exp.rollout(p, batch, traj_len, in_steps, "charged")
+        np.testing.assert_allclose(
+            np.asarray(locs_pred).reshape(traj_len, -1, 3), preds_t.numpy(),
+            rtol=2e-4, atol=2e-4)
+
     @pytest.mark.parametrize("agg", ["sum", "attn"])
     def test_multi_input(self, ref, agg):
         torch = ref.torch
