@@ -72,6 +72,11 @@ def get_args(argv=None):
     parser.add_argument("--varDT", type=str2bool, default=False)
     parser.add_argument("--num_inputs", type=int, default=1)
     parser.add_argument("--use_wb", type=str2bool, default=False)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Data-parallel mesh size (batch axis sharding).")
+    parser.add_argument("--space", type=int, default=1,
+                        help="Space-parallel mesh size (particle axis "
+                             "sharding for large N).")
     return parser.parse_args(argv)
 
 
@@ -142,6 +147,22 @@ def main(args):
     print(f"Num particles: {args.n_balls}, VarDT: {args.varDT}, "
           f"Num inputs: {args.num_inputs}, "
           f"Num timesteps: {args.num_timesteps}, dT: {args.dT}")
+
+    if getattr(args, "dp", 1) * getattr(args, "space", 1) > 1:
+        from .parallel.mesh import apply_mesh, make_mesh, replicate_dataset
+        n_dev = args.dp * args.space
+        assert len(jax.devices()) >= n_dev, (
+            f"--dp {args.dp} x --space {args.space} needs {n_dev} devices, "
+            f"have {len(jax.devices())}")
+        assert args.batch_size % args.dp == 0, \
+            f"batch_size {args.batch_size} not divisible by dp={args.dp}"
+        assert args.n_balls % args.space == 0, \
+            f"n_balls {args.n_balls} not divisible by space={args.space}"
+        mesh = make_mesh(n_devices=n_dev, space=args.space)
+        apply_mesh(exp, mesh, shard_particles=args.space > 1)
+        for ds in (ds_train, ds_val, ds_test):
+            replicate_dataset(ds, mesh)
+        print(f"mesh: data={args.dp} space={args.space}")
 
     logger = RunLogger(args.outf / args.exp_name, model_save_path.stem,
                        config=vars(args), use_wandb=args.use_wb)

@@ -94,3 +94,23 @@ def make_sharded_train_step(exp, mesh: Mesh, shard_particles: bool = False):
 def shard_batch(batch, shardings):
     """Place a host batch onto the mesh with the given shardings."""
     return tuple(jax.device_put(b, s) for b, s in zip(batch, shardings))
+
+
+def apply_mesh(exp, mesh: Mesh, shard_particles: bool = False):
+    """Attach a mesh to an EGNO/SEGNO experiment: its jitted epoch programs
+    then sharding-constrain every scanned batch over ('data'[, 'space'])
+    and XLA inserts the gradient psum. Call before the first epoch."""
+    exp.mesh = mesh
+    exp.shard_particles = shard_particles
+    return exp
+
+
+def replicate_dataset(ds, mesh: Mesh):
+    """Replicate a device-resident NBodyDataset's arrays across the mesh
+    (they are small; each device gathers its own batch shard locally —
+    replaces DistributedSampler-style per-rank loaders,
+    SEGNO/utils.py:10-25)."""
+    repl = replicated(mesh)
+    for name in ("loc", "vel", "charges", "edge_weights"):
+        setattr(ds, name, jax.device_put(getattr(ds, name), repl))
+    return ds

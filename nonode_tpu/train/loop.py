@@ -106,9 +106,28 @@ class EGNOExperiment:
     #                            fwd/bwd (fp32 master weights + Adam state,
     #                            fp32 loss). Off by default — fp32 is the
     #                            physics-parity mode; bf16 is the speed mode.
+    mesh: Any = None  # jax.sharding.Mesh("data","space"): each scanned batch
+    #                   is sharding-constrained over it; XLA propagates the
+    #                   shardings through fwd/bwd and inserts the gradient
+    #                   psum (params stay replicated). Set via
+    #                   parallel.mesh.apply_mesh / the driver --dp/--space.
+    shard_particles: bool = False  # also shard the particle axis over 'space'
 
     def __post_init__(self):
         self.optimizer = adam_l2(self.lr, self.weight_decay)
+
+    def _constrain(self, batch):
+        """Pin the batch tuple's sharding over the mesh (no-op without one).
+        Specs match _egno_batch_shardings (parallel/mesh.py)."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sp = "space" if self.shard_particles else None
+        specs = (P("data", None, sp), P("data", None, sp), P("data", sp),
+                 P("data", sp), P("data", None, sp), P("data"), P("data"))
+        return tuple(
+            jax.lax.with_sharding_constraint(b, NamedSharding(self.mesh, s))
+            for b, s in zip(batch, specs))
 
     def init(self, key):
         params = self.model.init(key)
@@ -150,7 +169,8 @@ class EGNOExperiment:
         loc_out = _gather_window(loc_all, idx, idx_arrays["out_frames"][idx])
         t_in = idx_arrays["t_in"][idx]
         t_out = idx_arrays["t_out"][idx]
-        return loc_in, vel_in, charges, w, loc_out, t_in, t_out
+        return self._constrain(
+            (loc_in, vel_in, charges, w, loc_out, t_in, t_out))
 
     def _forward(self, params, loc_in, vel_in, charges, w, t_in, t_out):
         multi = self.model.num_inputs > 1
@@ -312,9 +332,27 @@ class SEGNOExperiment:
     num_timesteps: int = 10
     lr: float = 5e-3
     weight_decay: float = 1e-12
+    mesh: Any = None                 # see EGNOExperiment.mesh
+    shard_particles: bool = False
 
     def __post_init__(self):
         self.optimizer = adam_l2(self.lr, self.weight_decay)
+
+    def _constrain(self, batch):
+        """Pin the batch tuple's sharding over the mesh (no-op without one).
+        SEGNO batches are (loc_in, vel_in, charges, w, loc_end) with the
+        batch axis at 0 (single input) or 1 (multi input [L, B, N, 3])."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sp = "space" if self.shard_particles else None
+        loc_in, vel_in, charges, w, loc_end = batch
+        d_in = (P(None, "data", sp) if loc_in.ndim == 4
+                else P("data", sp))
+        specs = (d_in, d_in, P("data", sp), P("data", sp), P("data", sp))
+        return tuple(
+            jax.lax.with_sharding_constraint(b, NamedSharding(self.mesh, s))
+            for b, s in zip(batch, specs))
 
     def init(self, key):
         params = self.model.init(key)
@@ -422,7 +460,8 @@ class SEGNOExperiment:
         else:
             loc_in = loc_all[idx, frames[0]]
             vel_in = vel_all[idx, frames[0]]
-        return (loc_in, vel_in, charges_all[idx], w_all[idx], loc_all[idx, end])
+        return self._constrain(
+            (loc_in, vel_in, charges_all[idx], w_all[idx], loc_all[idx, end]))
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 5))
     def eval_epoch(self, params, ds_arrays, perm, frames, in_steps):
@@ -443,7 +482,8 @@ class SEGNOExperiment:
         loc_in = loc_all[idx[None, :], frames_b[:, None]]   # [L, B, N, 3]
         vel_in = vel_all[idx[None, :], frames_b[:, None]]
         loc_end = loc_all[idx, frames_b[-1] + self.num_timesteps]
-        return loc_in, vel_in, charges_all[idx], w_all[idx], loc_end
+        return self._constrain(
+            (loc_in, vel_in, charges_all[idx], w_all[idx], loc_end))
 
     def _loss_dynamic(self, params, batch, seg_lens, max_interior):
         loc_in, vel_in, charges, w, loc_end = batch

@@ -1,0 +1,83 @@
+"""Driver-level tests: the unified CLI flow end to end on the virtual
+8-device CPU mesh, including --dp/--space mesh sharding (sharded training
+must reproduce single-device results — distribution is an implementation
+detail, not a semantics change)."""
+
+import jax
+import numpy as np
+import pytest
+
+from nonode_tpu.main import get_args, main
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    from nonode_tpu.sim.simulators import ChargedSim, sample_batch
+    d = tmp_path_factory.mktemp("driver_data")
+    sim = ChargedSim(n_balls=5)
+    for part, n, seed in (("train", 24, 0), ("valid", 16, 1), ("test", 16, 2)):
+        loc, vel, edges, charges = sample_batch(
+            sim, jax.random.PRNGKey(seed), n, 5000, 100)   # 49 frames
+        np.save(d / f"loc_{part}_charged5_initvel1small.npy",
+                np.asarray(loc).transpose(0, 1, 3, 2))
+        np.save(d / f"vel_{part}_charged5_initvel1small.npy",
+                np.asarray(vel).transpose(0, 1, 3, 2))
+        np.save(d / f"edges_{part}_charged5_initvel1small.npy",
+                np.asarray(edges))
+        np.save(d / f"charges_{part}_charged5_initvel1small.npy",
+                np.asarray(charges))
+    return d
+
+
+def run_driver(tiny_data, tmp_path, model, extra=()):
+    args = get_args([
+        "--model", model, "--dataset", "charged",
+        "--data_dir", str(tiny_data), "--epochs", "2",
+        "--test_interval", "1", "--batch_size", "8", "--max_samples", "24",
+        "--traj_len", "1", "--seed", "7",
+        "--outf", str(tmp_path), *extra])
+    return main(args)
+
+
+class TestMeshDriver:
+    @pytest.mark.parametrize("model", ["egno", "segno"])
+    def test_dp_sharded_matches_single_device(self, tiny_data, tmp_path,
+                                              model):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        ref = run_driver(tiny_data, tmp_path / "single", model)
+        dp = run_driver(tiny_data, tmp_path / "dp4", model,
+                        extra=["--dp", "4"])
+        # (best_val, test_loss, best_epoch)
+        assert ref[2] == dp[2]
+        np.testing.assert_allclose(dp[0], ref[0], rtol=2e-4)
+        np.testing.assert_allclose(dp[1], ref[1], rtol=2e-4)
+
+    def test_dp_space_mesh_matches_single_device(self, tmp_path_factory,
+                                                 tmp_path):
+        """Full dp x space mesh: particle axis sharded over 'space'
+        (requires N % space == 0, driver-enforced) — must reproduce the
+        single-device training."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from nonode_tpu.sim.simulators import ChargedSim, sample_batch
+        d = tmp_path_factory.mktemp("driver_data_n4")
+        sim = ChargedSim(n_balls=4)
+        for part, n, seed in (("train", 24, 0), ("valid", 16, 1),
+                              ("test", 16, 2)):
+            loc, vel, edges, charges = sample_batch(
+                sim, jax.random.PRNGKey(seed), n, 5000, 100)
+            np.save(d / f"loc_{part}_charged4_initvel1small.npy",
+                    np.asarray(loc).transpose(0, 1, 3, 2))
+            np.save(d / f"vel_{part}_charged4_initvel1small.npy",
+                    np.asarray(vel).transpose(0, 1, 3, 2))
+            np.save(d / f"edges_{part}_charged4_initvel1small.npy",
+                    np.asarray(edges))
+            np.save(d / f"charges_{part}_charged4_initvel1small.npy",
+                    np.asarray(charges))
+        n4 = ["--n_balls", "4"]
+        ref = run_driver(d, tmp_path / "single", "egno", extra=n4)
+        dpsp = run_driver(d, tmp_path / "dpsp", "egno",
+                          extra=n4 + ["--dp", "4", "--space", "2"])
+        np.testing.assert_allclose(dpsp[0], ref[0], rtol=2e-4)
+        np.testing.assert_allclose(dpsp[1], ref[1], rtol=2e-4)
