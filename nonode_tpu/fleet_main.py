@@ -1,14 +1,18 @@
 """Seed-fleet driver: train every seed of a sweep group simultaneously.
 
-``python -m nonode_tpu.fleet_main --model egno --dataset charged \
+``python -m nonode_tpu.fleet_main --model {egno,segno} --dataset charged \
     --seeds 1,2,3,4,5 ...``
 
 All K seeds train as one vmapped device program (parallel/fleet.py); early
-stopping runs per seed on the host (best params tracked per seed with a
-masked update), then each seed's best checkpoint is tested with the standard
-rollout and written as a standard per-seed artifact — so the analysis
-registry sees exactly what K sequential runs would have produced, at ~1/K
-the wall-clock. EGNO only for now (SEGNO trains in seconds sequentially).
+stopping runs per seed on the host with the same decisions K sequential
+EarlyStopping instances would make (FleetEarlyStopping), stopped seeds are
+COMPACTED out of the fleet (they stop consuming device compute), then each
+seed's best checkpoint is tested with the standard rollout and written as a
+standard per-seed artifact — so the analysis registry sees exactly what K
+sequential runs would have produced, at ~1/K the wall-clock.
+
+Covers the BASE grid (single-input) for both models; multi-input/varDT
+cells (PRO grid) run through the sequential driver.
 """
 
 from __future__ import annotations
@@ -27,15 +31,16 @@ from .runtime import bootstrap
 bootstrap()
 from .data.nbody import NBodyDataset
 from .models.egno import EGNO
-from .parallel.fleet import SeedFleet
+from .models.segno import SEGNO
+from .parallel.fleet import FleetEarlyStopping, SeedFleet
 from .train.checkpoint import save_params
-from .train.loop import EGNOExperiment
+from .train.loop import EGNOExperiment, SEGNOExperiment
 
 
 def get_args(argv=None):
-    parser = argparse.ArgumentParser(description="EGNO seed-fleet trainer")
+    parser = argparse.ArgumentParser(description="Seed-fleet trainer")
     parser.add_argument("--model", type=str, default="egno",
-                        choices=["egno"])
+                        choices=["egno", "segno"])
     parser.add_argument("--exp_name", type=str, default="0exp_fleet")
     parser.add_argument("--config", type=str, default="model_confs.yaml")
     parser.add_argument("--batch_size", type=int, default=256)
@@ -84,12 +89,20 @@ def main(args):
     ds_val = NBodyDataset(partition="val", **ds_kw)
     ds_test = NBodyDataset(partition="test", traj_len=args.traj_len, **ds_kw)
 
-    model = EGNO(n_layers=cfg.n_layers, in_node_nf=cfg.in_node_nf,
-                 in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
-                 num_modes=cfg.num_modes, num_timesteps=args.num_timesteps,
-                 time_emb_dim=cfg.time_emb_dim)
-    exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
-                         remat=args.remat)
+    if args.model == "egno":
+        model = EGNO(n_layers=cfg.n_layers, in_node_nf=cfg.in_node_nf,
+                     in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
+                     num_modes=cfg.num_modes,
+                     num_timesteps=args.num_timesteps,
+                     time_emb_dim=cfg.time_emb_dim)
+        exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
+                             remat=args.remat)
+    else:
+        model = SEGNO(in_node_nf=cfg.in_node_nf, in_edge_nf=cfg.in_edge_nf,
+                      hidden_nf=cfg.hidden_nf, n_layers=cfg.n_layers,
+                      recurrent=cfg.recurrent, tanh=cfg.tanh)
+        exp = SEGNOExperiment(model, num_timesteps=args.num_timesteps,
+                              lr=cfg.lr, weight_decay=cfg.weight_decay)
     fleet = SeedFleet(exp, seeds)
     params, opt_state = fleet.init()
     best_params = jax.tree.map(jnp.copy, params)
@@ -99,44 +112,72 @@ def main(args):
     arrays = (ds_train.loc, ds_train.vel, ds_train.charges,
               ds_train.edge_weights)
     val_arrays = (ds_val.loc, ds_val.vel, ds_val.charges, ds_val.edge_weights)
-    idx_train = {key: jnp.asarray(v) for key, v in
-                 exp.epoch_index_arrays(ds_train, eval_rng).items()}
-    idx_val = {key: jnp.asarray(v) for key, v in
-               exp.epoch_index_arrays(ds_val, eval_rng).items()}
 
-    best_val = np.full(k, np.inf)
-    best_epoch = np.zeros(k, int)
-    counters = np.zeros(k, int)
-    stopped = np.zeros(k, bool)
+    if args.model == "egno":
+        idx_train = {key: jnp.asarray(v) for key, v in
+                     exp.epoch_index_arrays(ds_train, eval_rng).items()}
+        idx_val = {key: jnp.asarray(v) for key, v in
+                   exp.epoch_index_arrays(ds_val, eval_rng).items()}
+
+        def train_fn(p, o, perms):
+            p, o, _, last = fleet.train_epoch(p, o, arrays, idx_train, perms)
+            return p, o, last
+
+        def val_fn(p, vperm):
+            _, vlast = fleet.eval_epoch(p, val_arrays, idx_val, vperm)
+            # reference epoch metric is the last-timestep loss
+            return np.asarray(vlast).mean(axis=1)
+    else:
+        frames, in_steps, _ = exp.input_frames(ds_train, None)
+
+        def train_fn(p, o, perms):
+            return fleet.train_epoch_segno(p, o, arrays, perms, frames,
+                                           in_steps)
+
+        def val_fn(p, vperm):
+            vl = fleet.eval_epoch_segno(p, val_arrays, vperm, frames,
+                                        in_steps)
+            return np.asarray(vl).mean(axis=1)
+
+    es = FleetEarlyStopping(k, patience=args.patience)
+    alive = np.arange(k)                 # indices into the original seed list
     t0 = time.time()
 
     for epoch in range(args.epochs):
-        perms = jnp.asarray(fleet.make_perms(rngs, len(ds_train),
-                                             args.batch_size))
-        params, opt_state, losses, last = fleet.train_epoch(
-            params, opt_state, arrays, idx_train, perms)
+        perms = jnp.asarray(fleet.make_perms([rngs[i] for i in alive],
+                                             len(ds_train), args.batch_size))
+        params, opt_state, _ = train_fn(params, opt_state, perms)
         if epoch % args.test_interval == 0 and epoch > 0:
             vperm = jnp.asarray(
                 np.arange((len(ds_val) // args.batch_size) * args.batch_size)
                 .reshape(-1, args.batch_size))
-            _, vlast = fleet.eval_epoch(params, val_arrays, idx_val, vperm)
-            val = np.asarray(vlast).mean(axis=1)           # [K]
-            improved = (val < best_val) & ~stopped
-            best_val = np.where(improved, val, best_val)
-            best_epoch = np.where(improved, epoch, best_epoch)
-            counters = np.where(improved, 0, counters + 1)
-            stopped |= counters >= args.patience
-            mask = jnp.asarray(improved, jnp.bool_)
+            val_a = val_fn(params, vperm)                  # [K_alive]
+            val = np.full(k, np.inf)
+            val[alive] = val_a
+            improved = es(val, epoch)                      # [K]
+            imp_a = jnp.asarray(improved[alive])
+            alive_j = jnp.asarray(alive)
             best_params = jax.tree.map(
-                lambda b, p: jnp.where(
-                    mask.reshape((k,) + (1,) * (p.ndim - 1)), p, b),
+                lambda b, p: b.at[alive_j].set(
+                    jnp.where(imp_a.reshape((-1,) + (1,) * (p.ndim - 1)),
+                              p, b[alive_j])),
                 best_params, params)
             print(f"epoch {epoch}: val {np.round(val, 5).tolist()} "
-                  f"best {np.round(best_val, 5).tolist()} "
-                  f"stopped {stopped.tolist()}")
-            if stopped.all():
+                  f"best {np.round(es.best_val, 5).tolist()} "
+                  f"stopped {es.stopped.tolist()}")
+            if es.all_stopped:
                 print("All seeds early-stopped.")
                 break
+            newly_stopped = es.stopped[alive]
+            if newly_stopped.any():
+                # compact the fleet: stopped seeds stop consuming compute
+                keep = np.where(~newly_stopped)[0]
+                params = fleet.take(params, keep)
+                opt_state = fleet.take(opt_state, keep)
+                alive = alive[keep]
+                print(f"compacted fleet to {len(alive)} seeds "
+                      f"{[seeds[i] for i in alive]}")
+    best_val, best_epoch = es.best_val, es.best_epoch
     wall = time.time() - t0
     print(f"fleet training wall-clock: {wall:.1f}s for {k} seeds "
           f"({wall / k:.1f}s/seed equivalent)")
@@ -146,12 +187,17 @@ def main(args):
     records = []
     for i, seed in enumerate(seeds):
         p_i = jax.tree.map(lambda a: a[i], best_params)
-        stem = (f"EGNO_{args.dataset}_seed={seed}_n_part={args.n_balls}"
-                f"_n_inputs=1_dT_1_varDT=False"
+        stem = (f"{args.model.upper()}_{args.dataset}_seed={seed}"
+                f"_n_part={args.n_balls}_n_inputs=1_dT_1_varDT=False"
                 f"_num_timesteps={args.num_timesteps}")
         save_params(out_dir / f"{stem}.ckpt", p_i)
-        test_loss, avg_steps, artifact = exp.test_rollout(
-            p_i, ds_test, args.batch_size, np.random.RandomState(seed))
+        if args.model == "egno":
+            test_loss, avg_steps, artifact = exp.test_rollout(
+                p_i, ds_test, args.batch_size, np.random.RandomState(seed))
+        else:
+            test_loss, avg_steps, artifact = exp.test_rollout(
+                p_i, ds_test, args.batch_size, np.random.RandomState(seed),
+                args.traj_len, varDT=False)
         np.savez(out_dir / f"{stem}_results.npz", **artifact)
         print(f"seed {seed}: best_val {best_val[i]:.5f} @ {best_epoch[i]} "
               f"test {test_loss:.5f} "

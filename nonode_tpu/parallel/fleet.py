@@ -37,8 +37,42 @@ def eval_shard_indices(n: int, world_size: int, rank: int,
     return indices[rank:n:world_size]
 
 
+class FleetEarlyStopping:
+    """Vectorized EarlyStopping over K seeds — decision-equivalent to K
+    sequential ``train.checkpoint.EarlyStopping`` instances (same strict
+    improvement rule and patience counting; pinned by
+    tests/test_parallel.py)."""
+
+    def __init__(self, k: int, patience: int = 15, delta: float = 0.0):
+        self.patience = patience
+        self.delta = delta
+        self.best_val = np.full(k, np.inf)
+        self.best_epoch = np.zeros(k, int)
+        self.counter = np.zeros(k, int)
+        self.stopped = np.zeros(k, bool)
+
+    def __call__(self, val: np.ndarray, epoch: int) -> np.ndarray:
+        """val: [K] validation losses (entries for stopped seeds ignored).
+        Returns the improved mask [K]."""
+        # NB: ties count as improvement (reference EarlyStopping,
+        # EGNO/utils.py:263: counter only when score < best + delta)
+        improved = (val <= self.best_val - self.delta) & ~self.stopped
+        self.best_val = np.where(improved, val, self.best_val)
+        self.best_epoch = np.where(improved, epoch, self.best_epoch)
+        self.counter = np.where(improved, 0,
+                                np.where(self.stopped, self.counter,
+                                         self.counter + 1))
+        self.stopped |= self.counter >= self.patience
+        return improved
+
+    @property
+    def all_stopped(self) -> bool:
+        return bool(self.stopped.all())
+
+
 class SeedFleet:
-    """Train K independently-seeded replicas of an EGNOExperiment at once."""
+    """Train K independently-seeded replicas of an EGNO/SEGNO experiment at
+    once (EGNO via train_epoch/eval_epoch; SEGNO via the _segno variants)."""
 
     def __init__(self, exp: EGNOExperiment, seeds):
         self.exp = exp
@@ -74,6 +108,30 @@ class SeedFleet:
         return jax.vmap(
             lambda p: self.exp.eval_epoch(p, ds_arrays, idx_arrays, perm))(params)
 
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6))
+    def train_epoch_segno(self, params, opt_state, ds_arrays, perms, frames,
+                          in_steps):
+        """SEGNO fleet epoch: params/opt_state [K, ...]; perms [K, nb, B];
+        frames/in_steps static (single-input or constant multi-input)."""
+
+        def one(p, o, perm):
+            return self.exp.train_epoch(p, o, ds_arrays, perm, frames,
+                                        in_steps)
+
+        return jax.vmap(one, in_axes=(0, 0, 0))(params, opt_state, perms)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def eval_epoch_segno(self, params, ds_arrays, perm, frames, in_steps):
+        return jax.vmap(
+            lambda p: self.exp.eval_epoch(p, ds_arrays, perm, frames,
+                                          in_steps))(params)
+
     def split(self, params):
         """[K, ...] stacked params -> list of per-seed param pytrees."""
         return [jax.tree.map(lambda a: a[i], params) for i in range(self.k)]
+
+    def take(self, tree, keep):
+        """Gather the rows of a [K, ...] pytree (fleet compaction: stopped
+        seeds are removed so they stop consuming compute)."""
+        keep = jnp.asarray(keep)
+        return jax.tree.map(lambda a: a[keep], tree)

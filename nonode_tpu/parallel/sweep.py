@@ -87,11 +87,12 @@ def load_schedule(path: str | None, grid: str) -> dict:
 
 
 def group_for_fleet(configs: list[dict]) -> dict:
-    """Group EGNO single-input configs by everything-but-seed -> seed list.
-    These groups can train as one vmapped fleet program each."""
+    """Group single-input configs (both models) by everything-but-seed ->
+    seed list. These groups can train as one vmapped fleet program each."""
     groups = {}
     for cfg in configs:
-        if cfg.get("model") != "egno" or cfg.get("num_inputs", 1) != 1 \
+        if cfg.get("model") not in ("egno", "segno") \
+                or cfg.get("num_inputs", 1) != 1 \
                 or cfg.get("varDT", False):
             continue
         key = json.dumps({k: v for k, v in cfg.items()
@@ -105,8 +106,9 @@ def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
               limit: int | None = None, use_fleet: bool = False) -> list[dict]:
     """Run every config in the grid; resume-safe via the JSONL ledger.
 
-    With use_fleet=True, EGNO single-input seed groups train as one vmapped
-    fleet program (parallel/fleet.py) — K seeds for ~1 seed's wall-clock."""
+    With use_fleet=True, single-input seed groups (EGNO and SEGNO) train as
+    one vmapped fleet program (parallel/fleet.py) — K seeds for ~1 seed's
+    wall-clock."""
     from ..main import get_args, main as run_main
 
     spec = load_schedule(schedule_path, grid_name)
@@ -132,7 +134,8 @@ def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
                 continue
             base = pending[0]
             seeds = ",".join(str(c["seed"]) for c in pending)
-            argv = ["--dataset", str(base["dataset"]),
+            argv = ["--model", str(base["model"]),
+                    "--dataset", str(base["dataset"]),
                     "--n_balls", str(base["n_balls"]),
                     "--seeds", seeds,
                     "--exp_name", str(base.get("exp_name", "_exp_new")),

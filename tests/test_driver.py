@@ -53,6 +53,26 @@ class TestMeshDriver:
         np.testing.assert_allclose(dp[0], ref[0], rtol=2e-4)
         np.testing.assert_allclose(dp[1], ref[1], rtol=2e-4)
 
+    @pytest.mark.parametrize("model", ["egno", "segno"])
+    def test_fleet_driver_with_compaction(self, tiny_data, tmp_path, model):
+        """fleet_main end to end for both models: patience=1 forces early
+        stops mid-run, exercising fleet compaction; per-seed artifacts and
+        records must still come out complete."""
+        from nonode_tpu.fleet_main import get_args as fleet_args, \
+            main as fleet_main
+        records = fleet_main(fleet_args([
+            "--model", model, "--dataset", "charged",
+            "--data_dir", str(tiny_data), "--epochs", "8",
+            "--test_interval", "1", "--batch_size", "8",
+            "--max_samples", "24", "--traj_len", "1", "--patience", "1",
+            "--seeds", "1,2,3", "--outf", str(tmp_path)]))
+        assert len(records) == 3
+        for r in records:
+            assert np.isfinite(r["best_val_loss"])
+            assert np.isfinite(r["test_loss"])
+        arts = list((tmp_path / "0exp_fleet").glob("*_results.npz"))
+        assert len(arts) == 3
+
     def test_dp_space_mesh_matches_single_device(self, tmp_path_factory,
                                                  tmp_path):
         """Full dp x space mesh: particle axis sharded over 'space'

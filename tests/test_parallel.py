@@ -89,6 +89,44 @@ class TestEvalSharding:
         assert not np.array_equal(a, c)
 
 
+class TestFleetEarlyStopping:
+    def test_matches_sequential_decisions(self, tmp_path):
+        """Fleet early stopping must make exactly the decisions K sequential
+        EarlyStopping instances make — same stop evals, same best vals —
+        including the exact-tie-counts-as-improvement rule."""
+        from nonode_tpu.parallel.fleet import FleetEarlyStopping
+        from nonode_tpu.train.checkpoint import EarlyStopping
+
+        rng = np.random.RandomState(0)
+        k, e, patience = 4, 40, 3
+        vals = rng.rand(k, e).astype(np.float64)
+        vals[1, 5:] = vals[1, 5]             # exact-tie plateau: never stops
+        vals[2] = np.linspace(1.0, 0.1, e)   # monotone: never stops
+        vals[3, 3:] = vals[3, 3] + 0.1       # stops at 3 + patience
+
+        fes = FleetEarlyStopping(k, patience=patience)
+        fleet_stop = np.full(k, -1)
+        for ep in range(e):
+            fes(vals[:, ep], ep)
+            fleet_stop = np.where((fleet_stop < 0) & fes.stopped, ep,
+                                  fleet_stop)
+
+        for i in range(k):
+            es = EarlyStopping(patience=patience,
+                               path=tmp_path / f"{i}.ckpt")
+            seq_stop, seq_best_ep = -1, 0
+            for ep in range(e):
+                es(float(vals[i, ep]), {"w": np.zeros(1)})
+                if es.counter == 0:      # improvement -> checkpoint saved
+                    seq_best_ep = ep
+                if es.early_stop:
+                    seq_stop = ep
+                    break
+            assert fleet_stop[i] == seq_stop, f"seed {i}"
+            np.testing.assert_allclose(fes.best_val[i], es.val_loss_min)
+            assert fes.best_epoch[i] == seq_best_ep, f"seed {i}"
+
+
 class TestSeedFleet:
     def test_fleet_matches_individual_training(self, tmp_path):
         """A vmapped K-seed epoch must produce exactly what K separate
@@ -128,6 +166,44 @@ class TestSeedFleet:
         o1 = jax.tree.map(lambda a: a[1], opt_state)
         p1b, o1b, losses1, _ = exp.train_epoch(p1, o1, arrays, idx_arrays,
                                                jnp.asarray(perms[1]))
+        np.testing.assert_allclose(np.asarray(losses[1]), np.asarray(losses1),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[1], p2)),
+                        jax.tree.leaves(p1b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_segno_fleet_matches_individual_training(self):
+        """The SEGNO fleet epoch must reproduce per-seed sequential
+        training exactly (extends the EGNO fleet-equivalence test)."""
+        from nonode_tpu.models.segno import SEGNO
+        from nonode_tpu.parallel.fleet import SeedFleet
+        from nonode_tpu.train.loop import SEGNOExperiment
+
+        model = SEGNO(hidden_nf=8, n_layers=4)
+        exp = SEGNOExperiment(model, num_timesteps=3, lr=1e-3)
+        fleet = SeedFleet(exp, seeds=[0, 1, 2])
+
+        s, n = 32, 4
+        rng = np.random.RandomState(1)
+        loc = jnp.asarray(rng.randn(s, 20, n, 3), jnp.float32)
+        vel = jnp.asarray(rng.randn(s, 20, n, 3), jnp.float32)
+        charges = jnp.asarray(rng.choice([-1.0, 1.0], (s, n, 1)), jnp.float32)
+        w = jnp.einsum("sik,sjk->sij", charges, charges)[..., None]
+        arrays = (loc, vel, charges, w)
+        frames, in_steps = (10,), None
+        perms = fleet.make_perms([np.random.RandomState(s_) for s_ in range(3)],
+                                 s, 8)
+
+        params, opt_state = fleet.init()
+        p2, o2, losses = fleet.train_epoch_segno(
+            params, opt_state, arrays, jnp.asarray(perms), frames, in_steps)
+
+        p1 = jax.tree.map(lambda a: a[1], params)
+        o1 = jax.tree.map(lambda a: a[1], opt_state)
+        p1b, _, losses1 = exp.train_epoch(p1, o1, arrays,
+                                          jnp.asarray(perms[1]), frames,
+                                          in_steps)
         np.testing.assert_allclose(np.asarray(losses[1]), np.asarray(losses1),
                                    rtol=1e-5, atol=1e-6)
         for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[1], p2)),
