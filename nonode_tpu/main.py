@@ -77,7 +77,26 @@ def get_args(argv=None):
     parser.add_argument("--space", type=int, default=1,
                         help="Space-parallel mesh size (particle axis "
                              "sharding for large N).")
-    return parser.parse_args(argv)
+    parser.add_argument("--config_by_file", default=None, nargs="?", const="",
+                        type=str,
+                        help="JSON preset merged over existing args "
+                             "(main_simulation_simple_no.py:389-399; bare "
+                             "flag loads configs/config_simulation_simple_no"
+                             ".json)")
+    args = parser.parse_args(argv)
+    if args.config_by_file is not None:
+        path = args.config_by_file or str(
+            Path(__file__).parent / "configs" /
+            "config_simulation_simple_no.json")
+        with open(path) as f:
+            overrides = json.load(f)
+        # only update keys the namespace already has, like the reference
+        for k, v in overrides.items():
+            if hasattr(args, k):
+                setattr(args, k, v)
+        args.outf = Path(args.outf)
+        args.data_dir = Path(args.data_dir)
+    return args
 
 
 def main(args):

@@ -39,6 +39,29 @@ def run_driver(tiny_data, tmp_path, model, extra=()):
     return main(args)
 
 
+class TestConfigByFile:
+    def test_json_preset_merge(self, tmp_path):
+        """--config_by_file merges JSON over existing args (JSON wins for
+        keys it contains, unknown keys ignored), matching
+        main_simulation_simple_no.py:389-399."""
+        import json
+        preset = {"epochs": 123, "batch_size": 7, "unknown_key": 1,
+                  "num_timesteps": 5}
+        p = tmp_path / "preset.json"
+        p.write_text(json.dumps(preset))
+        args = get_args(["--model", "egno", "--epochs", "9",
+                         "--config_by_file", str(p)])
+        assert args.epochs == 123
+        assert args.batch_size == 7
+        assert args.num_timesteps == 5
+        assert not hasattr(args, "unknown_key")
+
+    def test_bare_flag_loads_default_preset(self):
+        args = get_args(["--model", "egno", "--config_by_file"])
+        assert args.exp_name == "simulation_exp"
+        assert args.batch_size == 100
+
+
 class TestMeshDriver:
     @pytest.mark.parametrize("model", ["egno", "segno"])
     def test_dp_sharded_matches_single_device(self, tiny_data, tmp_path,
