@@ -1,17 +1,23 @@
 """CMU mocap ASF/AMC parsing + forward kinematics, pure NumPy.
 
 Capability parity with EGNO/motion/amc_parser.py (which depends on
-transforms3d, unavailable here): parse an ASF skeleton, parse AMC motion
-frames (degrees), and run forward kinematics to per-frame joint coordinates.
+transforms3d, unavailable here), re-architected rather than ported: the
+reference runs a per-frame recursive joint traversal; here the skeleton is
+flattened to arrays once (preorder, parents before children) and FK runs
+VECTORIZED over all T frames of a trial — batched 3x3 matmuls per bone
+instead of T full tree recursions.
 
-ASF conventions (see the CMU ASF/AMC spec): each bone has a direction vector,
-a length, a rotation 'axis' (static-XYZ euler angles, degrees) defining the
-local frame C, and a dof list naming which of rx/ry/rz appear per AMC frame.
-FK: M_joint = M_parent @ C @ R(motion) @ C^-1;
-    x_joint = x_parent + length * M_joint @ direction.
+ASF conventions (see the CMU ASF/AMC spec): each bone has a direction
+vector, a length, a rotation 'axis' (static-XYZ euler angles, degrees)
+defining the local frame C, and a dof list naming which of rx/ry/rz appear
+per AMC frame.
+FK: M_bone = M_parent @ C @ R(motion) @ C^-1;
+    x_bone = x_parent + length * M_bone @ direction.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
@@ -20,82 +26,115 @@ def euler2mat(ai: float, aj: float, ak: float) -> np.ndarray:
     """Static-XYZ euler angles (radians) -> rotation matrix
     (transforms3d 'sxyz' convention: rotate about x by ai first, then y,
     then z, all in the static frame: M = Rz @ Ry @ Rx)."""
-    si, ci = np.sin(ai), np.cos(ai)
-    sj, cj = np.sin(aj), np.cos(aj)
-    sk, ck = np.sin(ak), np.cos(ak)
-    rx = np.array([[1, 0, 0], [0, ci, -si], [0, si, ci]])
-    ry = np.array([[cj, 0, sj], [0, 1, 0], [-sj, 0, cj]])
-    rz = np.array([[ck, -sk, 0], [sk, ck, 0], [0, 0, 1]])
-    return rz @ ry @ rx
+    return euler2mat_batch(np.stack([np.asarray(ai), np.asarray(aj),
+                                     np.asarray(ak)], axis=-1))
 
 
-class Joint:
-    def __init__(self, name, direction, length, axis, dof, limits):
-        self.name = name
-        self.direction = np.reshape(direction, [3, 1])
-        self.length = length
-        axis = np.deg2rad(axis)
-        self.C = euler2mat(*axis)
-        self.Cinv = np.linalg.inv(self.C)
-        # which rotation channels this joint reads from the AMC frame
-        self.dof = list(dof)
-        self.limits = np.zeros([3, 2])
-        for lm, nm in zip(limits, dof):
-            idx = {"rx": 0, "ry": 1, "rz": 2}[nm]
-            self.limits[idx] = lm
-        self.parent = None
-        self.children = []
-        self.coordinate = None
-        self.matrix = None
-        self.name_to_idx = None
+def euler2mat_batch(angles: np.ndarray) -> np.ndarray:
+    """Batched static-XYZ euler -> rotation matrices.
 
-    def set_motion(self, motion):
-        """Recursive FK for one AMC frame (dict name -> channel values)."""
-        if self.name == "root":
-            self.coordinate = np.reshape(np.array(motion["root"][:3]), [3, 1])
-            rotation = np.deg2rad(motion["root"][3:])
-            self.matrix = self.C @ euler2mat(*rotation) @ self.Cinv
-        else:
-            idx = 0
-            rotation = np.zeros(3)
-            for axis, lm in enumerate(self.limits):
-                if not np.array_equal(lm, np.zeros(2)):
-                    rotation[axis] = motion[self.name][idx]
-                    idx += 1
-            rotation = np.deg2rad(rotation)
-            self.matrix = (self.parent.matrix @ self.C
-                           @ euler2mat(*rotation) @ self.Cinv)
-            self.coordinate = (self.parent.coordinate
-                               + self.length * self.matrix @ self.direction)
-        for child in self.children:
-            child.set_motion(motion)
+    angles: [..., 3] radians -> [..., 3, 3] with M = Rz @ Ry @ Rx.
+    """
+    a = np.asarray(angles, dtype=np.float64)
+    si, sj, sk = np.sin(a[..., 0]), np.sin(a[..., 1]), np.sin(a[..., 2])
+    ci, cj, ck = np.cos(a[..., 0]), np.cos(a[..., 1]), np.cos(a[..., 2])
+    m = np.empty(a.shape[:-1] + (3, 3), dtype=np.float64)
+    # Rz @ Ry @ Rx, written out
+    m[..., 0, 0] = ck * cj
+    m[..., 0, 1] = ck * sj * si - sk * ci
+    m[..., 0, 2] = ck * sj * ci + sk * si
+    m[..., 1, 0] = sk * cj
+    m[..., 1, 1] = sk * sj * si + ck * ci
+    m[..., 1, 2] = sk * sj * ci - ck * si
+    m[..., 2, 0] = -sj
+    m[..., 2, 1] = cj * si
+    m[..., 2, 2] = cj * ci
+    return m
 
-    def to_dict(self):
-        ret = {self.name: self}
-        for child in self.children:
-            ret.update(child.to_dict())
-        return ret
 
-    def build_index(self):
-        self.name_to_idx = {name: i for i, name in enumerate(self.to_dict())}
+@dataclasses.dataclass
+class Bone:
+    """One parsed ASF bone (or the root pseudo-bone)."""
 
-    def skeleton_edges(self):
-        """[(child_idx, parent_idx)] over the joint index order."""
-        assert self.name_to_idx is not None
-        edges = []
-        for joint in self.to_dict().values():
-            if joint.parent is not None:
-                edges.append([self.name_to_idx[joint.name],
-                              self.name_to_idx[joint.parent.name]])
-        return edges
+    name: str
+    direction: np.ndarray            # [3]
+    length: float
+    axis_deg: np.ndarray             # [3] static-XYZ euler, degrees
+    dof: list
+    limits: np.ndarray               # [3, 2] per rx/ry/rz channel
+    parent: "Bone | None" = None
+    children: list = dataclasses.field(default_factory=list)
 
-    def coordinates(self):
-        """[N, 3] joint positions for the current frame."""
-        assert self.name_to_idx is not None
-        x = np.zeros((len(self.name_to_idx), 3))
-        for joint in self.to_dict().values():
-            x[self.name_to_idx[joint.name]] = joint.coordinate.reshape(-1)
-        return x
+
+class Skeleton:
+    """Flat skeleton: preorder bone arrays + frame-vectorized FK."""
+
+    def __init__(self, joints: dict[str, Bone]):
+        root = joints["root"]
+        order: list[Bone] = []
+
+        def preorder(b: Bone):
+            order.append(b)
+            for c in b.children:
+                preorder(c)
+
+        preorder(root)
+        self.names = [b.name for b in order]
+        self.index = {n: i for i, n in enumerate(self.names)}
+        n = len(order)
+        self.parent = np.array(
+            [-1 if b.parent is None else self.index[b.parent.name]
+             for b in order])
+        self.local = np.empty((n, 3, 3))        # C
+        self.local_inv = np.empty((n, 3, 3))    # C^-1
+        self.offset = np.empty((n, 3))          # length * direction
+        # which rotation axes each bone reads from its AMC channel list,
+        # in ascending axis order (a dof whose limits are exactly (0, 0) is
+        # skipped — the reference's amc_parser has the same quirk)
+        self.chan_axes = []
+        for i, b in enumerate(order):
+            self.local[i] = euler2mat_batch(np.deg2rad(b.axis_deg))
+            self.local_inv[i] = np.linalg.inv(self.local[i])
+            self.offset[i] = b.length * np.asarray(b.direction, float)
+            self.chan_axes.append(
+                np.nonzero((b.limits != 0).any(axis=1))[0])
+
+    def edges(self) -> list[list[int]]:
+        """[(child_idx, parent_idx)] over the preorder bone index."""
+        return [[i, p] for i, p in enumerate(self.parent) if p >= 0]
+
+    def channels(self, frames: list[dict]):
+        """AMC frames -> (trans [T, 3], rot [T, N, 3] radians)."""
+        t, n = len(frames), len(self.names)
+        trans = np.zeros((t, 3))
+        rot = np.zeros((t, n, 3))
+        for ti, frame in enumerate(frames):
+            root_vals = frame["root"]
+            trans[ti] = root_vals[:3]
+            rot[ti, 0] = root_vals[3:6]
+            for name, vals in frame.items():
+                if name == "root" or name not in self.index:
+                    continue
+                j = self.index[name]
+                rot[ti, j, self.chan_axes[j]] = vals
+        return trans, np.deg2rad(rot)
+
+    def fk(self, frames: list[dict]) -> np.ndarray:
+        """Forward kinematics for a whole trial at once -> [T, N, 3]."""
+        trans, rot = self.channels(frames)
+        t, n = rot.shape[:2]
+        local_rot = self.local[None] @ euler2mat_batch(rot) @ \
+            self.local_inv[None]                       # [T, N, 3, 3]
+        mats = np.empty((t, n, 3, 3))
+        coords = np.empty((t, n, 3))
+        mats[:, 0] = local_rot[:, 0]
+        coords[:, 0] = trans
+        for j in range(1, n):
+            p = self.parent[j]
+            mats[:, j] = mats[:, p] @ local_rot[:, j]
+            coords[:, j] = coords[:, p] + \
+                (mats[:, j] @ self.offset[j][:, None])[..., 0]
+        return coords
 
 
 def _lines(path):
@@ -103,15 +142,22 @@ def _lines(path):
         return f.read().splitlines()
 
 
-def parse_asf(path) -> dict[str, Joint]:
-    """Parse an ASF skeleton file into a joint dict (root included)."""
+def parse_asf(path) -> dict[str, Bone]:
+    """Parse an ASF skeleton file into a bone dict (root included)."""
     content = _lines(path)
     for idx, line in enumerate(content):
         if line.strip() == ":bonedata":
             content = content[idx + 1:]
             break
 
-    joints = {"root": Joint("root", np.zeros(3), 0, np.zeros(3), [], [])}
+    def make(name, direction, length, axis, dof, limits):
+        lm = np.zeros([3, 2])
+        for pair, nm in zip(limits, dof):
+            lm[{"rx": 0, "ry": 1, "rz": 2}[nm]] = pair
+        return Bone(name, np.asarray(direction, float), length,
+                    np.asarray(axis, float), list(dof), lm)
+
+    joints = {"root": make("root", np.zeros(3), 0, np.zeros(3), [], [])}
     i = 0
 
     def tok():
@@ -132,22 +178,22 @@ def parse_asf(path) -> dict[str, Joint]:
             if line[0] == "name":
                 fields["name"] = line[1]
             elif line[0] == "direction":
-                fields["direction"] = np.array([float(v) for v in line[1:]])
+                fields["direction"] = [float(v) for v in line[1:]]
             elif line[0] == "length":
                 fields["length"] = float(line[1])
             elif line[0] == "axis":
-                fields["axis"] = np.array([float(v) for v in line[1:4]])
+                fields["axis"] = [float(v) for v in line[1:4]]
             elif line[0] == "dof":
                 dof = line[1:]
-                for k in range(len(dof)):
+                for _ in range(len(dof)):
                     line = tok()
                     vals = line[1:] if line[0] == "limits" else line
                     limits.append((float(vals[0].lstrip("(")),
                                    float(vals[1].rstrip(")"))))
             line = tok()
-        joints[fields["name"]] = Joint(fields["name"], fields["direction"],
-                                       fields["length"], fields["axis"],
-                                       dof, limits)
+        joints[fields["name"]] = make(fields["name"], fields["direction"],
+                                      fields["length"], fields["axis"],
+                                      dof, limits)
         line = tok()
 
     # hierarchy
@@ -192,16 +238,5 @@ def parse_amc(path) -> list[dict]:
 def trajectories_from_amc(asf_path, amc_paths) -> tuple[list, list]:
     """Preprocess ASF+AMC files into (edges, [X_trial [T, N, 3]]) — the
     motion.pkl format (EGNO/motion/preprocess.py:12-37)."""
-    joints = parse_asf(asf_path)
-    root = joints["root"]
-    root.build_index()
-    edges = root.skeleton_edges()
-    all_x = []
-    for amc in amc_paths:
-        frames = parse_amc(amc)
-        xs = []
-        for frame in frames:
-            root.set_motion(frame)
-            xs.append(root.coordinates())
-        all_x.append(np.asarray(xs))
-    return edges, all_x
+    skel = Skeleton(parse_asf(asf_path))
+    return skel.edges(), [skel.fk(parse_amc(amc)) for amc in amc_paths]
