@@ -44,6 +44,26 @@ def _peak_flops():
     return None, kind
 
 
+def _sync(tree):
+    """Force EXECUTION, not just dispatch: on the axon TPU tunnel,
+    jax.block_until_ready returns before the queued work has run — only a
+    device->host transfer drains the queue. Pull one small leaf to host."""
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def timeit(fn, reps):
+    """Median-free honest timing: warmup (compile) + queue drain, then
+    `reps` invocations closed by a real host transfer."""
+    out = fn()
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
 def _egno_setup(b=256, n=5, t=10, s=2048):
     from nonode_tpu.models.egno import EGNO
     from nonode_tpu.train.loop import EGNOExperiment, make_perm
@@ -88,17 +108,14 @@ def bench_egno_step(b=256):
     except Exception:
         flops_epoch = 0.0
 
-    params, opt_state, losses, _ = exp.train_epoch(
-        params, opt_state, arrays, idx_arrays, perm)
-    jax.block_until_ready(losses)
+    state = [params, opt_state]
 
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        params, opt_state, losses, _ = exp.train_epoch(
-            params, opt_state, arrays, idx_arrays, perm)
-    jax.block_until_ready(losses)
-    dt = (time.perf_counter() - t0) / (reps * nb)
+    def one_epoch():
+        state[0], state[1], losses, _ = exp.train_epoch(
+            state[0], state[1], arrays, idx_arrays, perm)
+        return losses
+
+    dt = timeit(one_epoch, reps=40) / nb
 
     peak, kind = _peak_flops()
     flops_step = flops_epoch / nb if flops_epoch else 0.0
@@ -120,15 +137,15 @@ def bench_datagen():
     steps, sample_freq 100)."""
     from nonode_tpu.sim.simulators import ChargedSim, sample_batch
     sim = ChargedSim(n_balls=5)
-    k = jax.random.PRNGKey(0)
-    out = sample_batch(sim, k, 2000, 20000, 100)       # compile + run
-    jax.block_until_ready(out[0])
-    t0 = time.perf_counter()
-    out = sample_batch(sim, jax.random.PRNGKey(1), 2000, 20000, 100)
-    jax.block_until_ready(out[0])
-    dt = time.perf_counter() - t0
+    keys = iter(range(1, 100))
+
+    def gen():
+        return sample_batch(sim, jax.random.PRNGKey(next(keys)), 2000,
+                            20000, 100)[0]
+
+    dt = timeit(gen, reps=3)
     return {"metric": "datagen_charged5", "value": round(2000 / dt, 1),
-            "unit": "traj/s", "wall_s_per_2000": round(dt, 2)}
+            "unit": "traj/s", "wall_s_per_2000": round(dt, 4)}
 
 
 def bench_segno_step(b=256):
@@ -150,16 +167,14 @@ def bench_segno_step(b=256):
     perm = make_perm(np.random.RandomState(0), s, b)
     nb = perm.shape[0]
 
-    params, opt_state, losses = exp.train_epoch(params, opt_state, arrays,
-                                                perm, frames, in_steps)
-    jax.block_until_ready(losses)
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        params, opt_state, losses = exp.train_epoch(
-            params, opt_state, arrays, perm, frames, in_steps)
-    jax.block_until_ready(losses)
-    dt = (time.perf_counter() - t0) / (reps * nb)
+    state = [params, opt_state]
+
+    def one_epoch():
+        state[0], state[1], losses = exp.train_epoch(
+            state[0], state[1], arrays, perm, frames, in_steps)
+        return losses
+
+    dt = timeit(one_epoch, reps=40) / nb
     return {"metric": "segno_train_throughput", "value": round(b / dt, 1),
             "unit": "samples/s", "step_ms": round(dt * 1e3, 4)}
 
@@ -175,20 +190,13 @@ def bench_egno_rollout(b=256, traj_len=20):
     batch = (loc[:, 30:31], vel[:, 30:31], charges, w, None,
              jnp.zeros((b, 1), jnp.float32), t_out_all)
     roll = jax.jit(lambda p, bt: exp.rollout(p, bt, traj_len, "charged"))
-    out = roll(params, batch)
-    jax.block_until_ready(out[0])
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = roll(params, batch)
-    jax.block_until_ready(out[0])
-    dt = (time.perf_counter() - t0) / reps
+    dt = timeit(lambda: roll(params, batch)[0], reps=10)
     return {"metric": "egno_rollout_eval", "value": round(b / dt, 1),
             "unit": "samples/s",
             "note": f"traj_len={traj_len} windows incl. on-device energies"}
 
 
-def bench_fleet(k=5, epochs=3):
+def bench_fleet(k=5, epochs=20):
     """K-seed vmapped fleet epoch vs K sequential epochs."""
     from nonode_tpu.parallel.fleet import SeedFleet
     exp, params1, opt1, arrays, idx_arrays, perm = _egno_setup()
@@ -196,41 +204,37 @@ def bench_fleet(k=5, epochs=3):
     params, opt_state = fleet.init()
     perms = jnp.asarray(np.stack([perm] * k))
 
-    params, opt_state, losses, _ = fleet.train_epoch(
-        params, opt_state, arrays, idx_arrays, perms)
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    for _ in range(epochs):
-        params, opt_state, losses, _ = fleet.train_epoch(
-            params, opt_state, arrays, idx_arrays, perms)
-    jax.block_until_ready(losses)
-    dt_fleet = (time.perf_counter() - t0) / epochs
+    fstate = [params, opt_state]
 
-    p, o, l, _ = exp.train_epoch(params1, opt1, arrays, idx_arrays, perm)
-    jax.block_until_ready(l)
-    t0 = time.perf_counter()
-    for _ in range(epochs):
-        p, o, l, _ = exp.train_epoch(p, o, arrays, idx_arrays, perm)
-    jax.block_until_ready(l)
-    dt_one = (time.perf_counter() - t0) / epochs
+    def fleet_epoch():
+        fstate[0], fstate[1], losses, _ = fleet.train_epoch(
+            fstate[0], fstate[1], arrays, idx_arrays, perms)
+        return losses
+
+    dt_fleet = timeit(fleet_epoch, reps=epochs)
+
+    sstate = [params1, opt1]
+
+    def single_epoch():
+        sstate[0], sstate[1], l, _ = exp.train_epoch(
+            sstate[0], sstate[1], arrays, idx_arrays, perm)
+        return l
+
+    dt_one = timeit(single_epoch, reps=epochs)
     return {"metric": "fleet_speedup", "value": round(k * dt_one / dt_fleet, 2),
             "unit": f"x vs {k} sequential trainings",
-            "fleet_epoch_s": round(dt_fleet, 3),
-            "single_epoch_s": round(dt_one, 3)}
+            "fleet_epoch_s": round(dt_fleet, 5),
+            "single_epoch_s": round(dt_one, 5)}
 
 
 def bench_large_n():
     """RESULTS.md stretch: 1000-body charged, 20k leapfrog steps (Pallas)."""
     from nonode_tpu.sim.large import LargeNChargedSim
     sim = LargeNChargedSim(n_balls=1000)
-    out = sim.sample_trajectory(jax.random.PRNGKey(0), T=20000,
-                                sample_freq=100)
-    jax.block_until_ready(out[0])
-    t0 = time.perf_counter()
-    out = sim.sample_trajectory(jax.random.PRNGKey(1), T=20000,
-                                sample_freq=100)
-    jax.block_until_ready(out[0])
-    dt = time.perf_counter() - t0
+    keys = iter(range(100))
+    dt = timeit(lambda: sim.sample_trajectory(
+        jax.random.PRNGKey(next(keys)), T=20000, sample_freq=100)[0],
+        reps=2)
     return {"metric": "large_n_1000body_20k_steps", "value": round(dt, 2),
             "unit": "s"}
 

@@ -5,8 +5,11 @@ The reference runs sweep seeds as independent wandb agent processes
 models are tiny (hidden 64), so an entire seed group trains SIMULTANEOUSLY as
 one vmapped program: params/opt-states carry a leading seed axis [K, ...],
 each replica consumes its own epoch permutation, and the whole K-seed epoch
-is still one device dispatch. This is the main lever behind the >=50x sweep
-throughput target (BASELINE.md).
+is still one device dispatch. The measured win is amortizing the per-epoch
+host dispatch/sync across K seeds (~4.6x wall-clock for EGNO on the
+tunneled chip); the pure device compute under vmap is ~linear in K, so
+workloads whose sequential epochs are already compute-cheap relative to
+host overhead (SEGNO) see little benefit — see RESULTS.md fleets section.
 
 Also here: deterministic no-padding eval sharding — the semantics of the
 reference's DistributedEvalSampler (SEGNO/utils.py:46-93: strided
