@@ -85,6 +85,14 @@ class NBodyDataset:
 
         self.start = FRAME0[self.dataset][self.dataset_name]
         self.n_frames = loc.shape[1]
+        # fail loudly instead of producing a zero-width output window deep in
+        # jit (the reference would IndexError on loc[frame_0] the same way)
+        assert self.start + 1 < self.n_frames, (
+            f"dataset too short: {self.n_frames} saved frames but "
+            f"{self.dataset}/{self.dataset_name} windows start at frame "
+            f"{self.start} (dataset_simple.py:122-123); regenerate with "
+            f"length >= {(self.start + self.num_timesteps) * 100 + 100} "
+            f"(sample_freq 100)")
         # device-resident split
         self.loc = jnp.asarray(loc)                     # [S, F, N, 3]
         self.vel = jnp.asarray(vel)

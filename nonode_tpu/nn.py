@@ -96,6 +96,14 @@ class MLP:
             y = self._act(y)
         return x + y if self.residual else y
 
+    def from_preact(self, p: Params, pre):
+        """Finish the MLP from a precomputed first-layer pre-activation
+        (see ops.dense_graph.first_edge_linear: the l1 matmul over a wide
+        pairwise concat is evaluated as per-segment matmuls instead)."""
+        assert not self.residual
+        y = Linear(self._hidden, self.out_dim)(p["l2"], self._act(pre))
+        return self._act(y) if self.last_act else y
+
 
 def silu(x):
     return jax.nn.silu(x)

@@ -58,6 +58,39 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(norm, eps)
 
 
+def first_edge_linear(p, segments):
+    """First Linear of an edge MLP over ``concat(segments)`` without ever
+    materializing the wide ``[..., N, N, sum(k)]`` concat.
+
+    ``segments`` are ordered ``(array, kind)`` pairs matching the concat
+    layout the weights were initialized for: kind 'pair' is a pairwise
+    feature ``[..., N, N, k]``; 'i' / 'j' are node features ``[..., N, k]``
+    broadcast over the sender / receiver axis. A matmul over a concat equals
+    the sum of per-slice matmuls, so this is exact up to fp32 summation
+    order — but node slices now cost O(N) row-matmuls instead of O(N^2), and
+    the dominant HBM write of the hot EGNN forward (the reference gathers
+    h[row], h[col] per edge, EGNO/model/basic.py:160-169; the round-1 dense
+    port broadcast them into a [..., N, N, 1+2H+E] concat) disappears.
+    """
+    w = p["w"]
+    prec = (None if segments[0][0].dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    off = 0
+    acc = {"pair": None, "i": None, "j": None}
+    for arr, kind in segments:
+        k = arr.shape[-1]
+        y = jnp.matmul(arr, w[:, off:off + k].T, precision=prec)
+        acc[kind] = y if acc[kind] is None else acc[kind] + y
+        off += k
+    assert off == w.shape[1], (off, w.shape)
+    out = acc["pair"]
+    if acc["i"] is not None:
+        out = out + acc["i"][..., :, None, :]
+    if acc["j"] is not None:
+        out = out + acc["j"][..., None, :, :]
+    return out + p["b"]
+
+
 @dataclasses.dataclass(frozen=True)
 class EGNNLayer:
     """Dense EGNN layer.
@@ -122,11 +155,12 @@ class EGNNLayer:
         rij = pairwise_diff(x)                                # [..., N, N, 3]
         r2 = (rij * rij).sum(axis=-1, keepdims=True)          # [..., N, N, 1]
         gram = _l2_normalize(r2) if self.norm else r2
-        hi = jnp.broadcast_to(h[..., :, None, :], (*r2.shape[:-1], h.shape[-1]))
-        hj = jnp.broadcast_to(h[..., None, :, :], (*r2.shape[:-1], h.shape[-1]))
-        feat = jnp.concatenate([gram, hi, hj, edge_fea], axis=-1)
-
-        message = self.edge_net(p["edge_net"], feat)          # [..., N, N, H]
+        # edge_net over concat([gram, h_i, h_j, edge_fea]) with the concat
+        # never built (see first_edge_linear)
+        pre = first_edge_linear(
+            p["edge_net"]["l1"],
+            [(gram, "pair"), (h, "i"), (h, "j"), (edge_fea, "pair")])
+        message = self.edge_net.from_preact(p["edge_net"], pre)  # [..., N, N, H]
         coord_w = self.coord_net(p["coord_net"], message)     # [..., N, N, 1]
         f = rij * coord_w
         tot_f = masked_mean_j(f, mask)                        # [..., N, 3]
@@ -217,10 +251,12 @@ class SEGNOGCL:
 
         rij = pairwise_diff(x)
         radial = (rij * rij).sum(axis=-1, keepdims=True)
-        hi = jnp.broadcast_to(h[..., :, None, :], (*radial.shape[:-1], h.shape[-1]))
-        hj = jnp.broadcast_to(h[..., None, :, :], (*radial.shape[:-1], h.shape[-1]))
-        feat = jnp.concatenate([hi, hj, radial, edge_attr], axis=-1)
-        edge_feat = self.edge_mlp(p["edge_mlp"], feat)        # [..., N, N, H]
+        # edge_mlp over concat([h_i, h_j, radial, edge_attr]), concat-free
+        segs = [(h, "i"), (h, "j"), (radial, "pair")]
+        if edge_attr is not None and self.in_edge_nf:
+            segs.append((edge_attr, "pair"))
+        pre = first_edge_linear(p["edge_mlp"]["l1"], segs)
+        edge_feat = self.edge_mlp.from_preact(p["edge_mlp"], pre)  # [..., N, N, H]
 
         trans = rij * self._coord_mlp(p, edge_feat)
         trans = jnp.clip(trans, -100.0, 100.0)
