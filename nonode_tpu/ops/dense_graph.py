@@ -24,6 +24,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nn import MLP, Linear, Params, xavier_uniform_init
 
@@ -109,6 +110,9 @@ class EGNNLayer:
     flat: bool = False
     norm: bool = False
     h_update: bool = True
+    fused: bool = False  # route the pairwise chain through the Pallas
+    #                      fused kernel (ops/pallas/egnn_fused.py) when the
+    #                      config is supported; falls back to dense XLA
 
     @property
     def edge_net(self) -> MLP:
@@ -142,6 +146,43 @@ class EGNNLayer:
             p["node_net"] = self.node_net.init(ks[3])
         return p
 
+    def _use_fused(self, x, edge_mask) -> bool:
+        from .pallas.egnn_fused import supported
+        return (self.fused and self.in_edge_nf >= 1
+                and (edge_mask is None or edge_mask.ndim == 2)
+                and supported(x.shape[-2], self.hidden_nf, x.dtype,
+                              self.act, self.flat, self.norm))
+
+    def _fused_pairwise(self, p, x, h, edge_fea, mask):
+        """Pairwise chain via the Pallas fused kernel. Leading batch dims
+        are flattened to one graph axis; the h_i/h_j column slices of the
+        first edge-MLP Linear are projected node-level here (the same
+        decomposition as first_edge_linear), so the kernel only sees
+        [G, N, .] node tensors plus the [G, N, N, E] edge features."""
+        from .pallas.egnn_fused import pairwise_message
+        hdim, e = self.hidden_nf, self.in_edge_nf
+        lead = x.shape[:-2]
+        n = x.shape[-2]
+        g = int(np.prod(lead)) if lead else 1
+
+        l1, l2 = p["edge_net"]["l1"], p["edge_net"]["l2"]
+        c1, c2 = p["coord_net"]["l1"], p["coord_net"]["l2"]
+        w1 = l1["w"]                                    # [H, 1+2H+E]
+        wi, wj = w1[:, 1:1 + hdim], w1[:, 1 + hdim:1 + 2 * hdim]
+        prec = jax.lax.Precision.HIGHEST
+        hi = jnp.matmul(h, wi.T, precision=prec)
+        hj = jnp.matmul(h, wj.T, precision=prec)
+        weights = (w1[:, :1].T, w1[:, 1 + 2 * hdim:].T, l1["b"][None, :],
+                   l2["w"].T, l2["b"][None, :],
+                   c1["w"].T, c1["b"][None, :],
+                   c2["w"].T, c2["b"][None, :])        # wc2 [H,1], bc2 [1,1]
+        ef = jnp.broadcast_to(edge_fea, (*lead, n, n, e))
+        tot_f, tot_m = pairwise_message(
+            False,
+            x.reshape(g, n, 3), hi.reshape(g, n, hdim),
+            hj.reshape(g, n, hdim), ef.reshape(g, n, n, e), mask, weights)
+        return (tot_f.reshape(*lead, n, 3), tot_m.reshape(*lead, n, hdim))
+
     def __call__(self, p: Params, x, h, edge_fea, v=None, edge_mask=None):
         """x: [..., N, 3]; h: [..., N, H]; edge_fea: [..., N, N, E].
 
@@ -152,18 +193,22 @@ class EGNNLayer:
         if edge_mask is not None:
             mask = mask * edge_mask
 
-        rij = pairwise_diff(x)                                # [..., N, N, 3]
-        r2 = (rij * rij).sum(axis=-1, keepdims=True)          # [..., N, N, 1]
-        gram = _l2_normalize(r2) if self.norm else r2
-        # edge_net over concat([gram, h_i, h_j, edge_fea]) with the concat
-        # never built (see first_edge_linear)
-        pre = first_edge_linear(
-            p["edge_net"]["l1"],
-            [(gram, "pair"), (h, "i"), (h, "j"), (edge_fea, "pair")])
-        message = self.edge_net.from_preact(p["edge_net"], pre)  # [..., N, N, H]
-        coord_w = self.coord_net(p["coord_net"], message)     # [..., N, N, 1]
-        f = rij * coord_w
-        tot_f = masked_mean_j(f, mask)                        # [..., N, 3]
+        if self._use_fused(x, edge_mask):
+            tot_f, tot_message = self._fused_pairwise(p, x, h, edge_fea, mask)
+        else:
+            rij = pairwise_diff(x)                            # [..., N, N, 3]
+            r2 = (rij * rij).sum(axis=-1, keepdims=True)      # [..., N, N, 1]
+            gram = _l2_normalize(r2) if self.norm else r2
+            # edge_net over concat([gram, h_i, h_j, edge_fea]) with the
+            # concat never built (see first_edge_linear)
+            pre = first_edge_linear(
+                p["edge_net"]["l1"],
+                [(gram, "pair"), (h, "i"), (h, "j"), (edge_fea, "pair")])
+            message = self.edge_net.from_preact(p["edge_net"], pre)
+            coord_w = self.coord_net(p["coord_net"], message)  # [.., N, N, 1]
+            f = rij * coord_w
+            tot_f = masked_mean_j(f, mask)                    # [..., N, 3]
+            tot_message = masked_sum_j(message, mask)         # [..., N, H]
         tot_f = jnp.clip(tot_f, -100.0, 100.0)
 
         if v is not None:
@@ -171,7 +216,6 @@ class EGNNLayer:
         else:
             x = x + tot_f
 
-        tot_message = masked_sum_j(message, mask)             # [..., N, H]
         if self.h_update:
             h = self.node_net(p["node_net"],
                               jnp.concatenate([h, tot_message], axis=-1))
@@ -199,6 +243,8 @@ class SEGNOGCL:
     recurrent: bool = True
     coords_weight: float = 1.0
     tanh: bool = False
+    fused: bool = False  # Pallas fused pairwise kernel (egnn_fused.py);
+    #                      SEGNO clips per edge -> clip_edges=True
 
     @property
     def edge_mlp(self) -> MLP:
@@ -241,6 +287,43 @@ class SEGNOGCL:
             y = jnp.tanh(y) * p["coords_range"]
         return y
 
+    def _use_fused(self, x, edge_attr, edge_mask) -> bool:
+        from .pallas.egnn_fused import supported
+        return (self.fused and self.in_edge_nf >= 1 and edge_attr is not None
+                and (edge_mask is None or edge_mask.ndim == 2)
+                and supported(x.shape[-2], self.hidden_nf, x.dtype,
+                              self.act, False, False, tanh=self.tanh))
+
+    def _fused_pairwise(self, p, x, h, edge_attr, mask):
+        """(masked-mean of per-edge-clipped trans, masked-sum of edge_feat)
+        via the Pallas fused kernel. Input order of the edge MLP concat is
+        [h_i, h_j, radial, edge_attr] (gcl.py:74-83), so the Wi/Wj slices
+        lead and the radial column sits at 2H."""
+        from .pallas.egnn_fused import pairwise_message
+        hdim, e = self.hidden_nf, self.in_edge_nf
+        lead = x.shape[:-2]
+        n = x.shape[-2]
+        g = int(np.prod(lead)) if lead else 1
+
+        l1, l2 = p["edge_mlp"]["l1"], p["edge_mlp"]["l2"]
+        c1, c2 = p["coord_mlp_l1"], p["coord_mlp_l2"]
+        w1 = l1["w"]                                    # [H, 2H+1+E]
+        wi, wj = w1[:, :hdim], w1[:, hdim:2 * hdim]
+        prec = jax.lax.Precision.HIGHEST
+        hi = jnp.matmul(h, wi.T, precision=prec)
+        hj = jnp.matmul(h, wj.T, precision=prec)
+        weights = (w1[:, 2 * hdim:2 * hdim + 1].T,
+                   w1[:, 2 * hdim + 1:].T, l1["b"][None, :],
+                   l2["w"].T, l2["b"][None, :],
+                   c1["w"].T, c1["b"][None, :],
+                   c2["w"].T, c2["b"][None, :])
+        ef = jnp.broadcast_to(edge_attr, (*lead, n, n, e))
+        tot_f, tot_m = pairwise_message(
+            True,
+            x.reshape(g, n, 3), hi.reshape(g, n, hdim),
+            hj.reshape(g, n, hdim), ef.reshape(g, n, n, e), mask, weights)
+        return (tot_f.reshape(*lead, n, 3), tot_m.reshape(*lead, n, hdim))
+
     def __call__(self, p: Params, h, x, v, edge_attr, inv_steps: float,
                  edge_mask=None):
         """One integrator step. inv_steps = 1/T (reference 1/n_layers)."""
@@ -249,23 +332,27 @@ class SEGNOGCL:
         if edge_mask is not None:
             mask = mask * edge_mask
 
-        rij = pairwise_diff(x)
-        radial = (rij * rij).sum(axis=-1, keepdims=True)
-        # edge_mlp over concat([h_i, h_j, radial, edge_attr]), concat-free
-        segs = [(h, "i"), (h, "j"), (radial, "pair")]
-        if edge_attr is not None and self.in_edge_nf:
-            segs.append((edge_attr, "pair"))
-        pre = first_edge_linear(p["edge_mlp"]["l1"], segs)
-        edge_feat = self.edge_mlp.from_preact(p["edge_mlp"], pre)  # [..., N, N, H]
+        if self._use_fused(x, edge_attr, edge_mask):
+            tot_trans, msg = self._fused_pairwise(p, x, h, edge_attr, mask)
+            agg = tot_trans * self.coords_weight
+        else:
+            rij = pairwise_diff(x)
+            radial = (rij * rij).sum(axis=-1, keepdims=True)
+            # edge_mlp over concat([h_i, h_j, radial, edge_attr]), concat-free
+            segs = [(h, "i"), (h, "j"), (radial, "pair")]
+            if edge_attr is not None and self.in_edge_nf:
+                segs.append((edge_attr, "pair"))
+            pre = first_edge_linear(p["edge_mlp"]["l1"], segs)
+            edge_feat = self.edge_mlp.from_preact(p["edge_mlp"], pre)
 
-        trans = rij * self._coord_mlp(p, edge_feat)
-        trans = jnp.clip(trans, -100.0, 100.0)
-        agg = masked_mean_j(trans, mask) * self.coords_weight
+            trans = rij * self._coord_mlp(p, edge_feat)
+            trans = jnp.clip(trans, -100.0, 100.0)
+            agg = masked_mean_j(trans, mask) * self.coords_weight
+            msg = masked_sum_j(edge_feat, mask)
 
         v = v + agg * inv_steps
         x = x + v * inv_steps
 
-        msg = masked_sum_j(edge_feat, mask)
         out = self.node_mlp(p["node_mlp"], jnp.concatenate([h, msg], axis=-1))
         h = h + out if self.recurrent else out
         return h, x, v
