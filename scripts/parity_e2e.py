@@ -248,8 +248,11 @@ def write_report(cfg, groups, fig_paths, wallclocks):
     ]
     for k_, v in wallclocks.items():
         lines.append(f"| {k_} | {v:.0f} |")
-    (REPO / "PARITY_E2E.md").write_text("\n".join(lines) + "\n")
-    print("wrote PARITY_E2E.md")
+    # keep the original charged report path; per-dataset reports otherwise
+    name = ("PARITY_E2E.md" if cfg.dataset == "charged"
+            else f"PARITY_E2E_{cfg.dataset}.md")
+    (REPO / name).write_text("\n".join(lines) + "\n")
+    print(f"wrote {name}")
 
 
 def main():
