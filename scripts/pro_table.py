@@ -1,0 +1,66 @@
+"""Aggregate the PRO-grid sweep ledgers + artifacts into a markdown table.
+
+Groups by (model, dataset, n_balls, num_inputs, varDT) over seeds; best-val
+mean +- std (ddof=1) from the ledger, finite-rollout companions
+(finite_fraction, test_loss_finite) from the npz artifacts — the same
+seed aggregation the reference performs in test.ipynb cell 16 /
+plotting.py:400-429, with the divergence-aware companions our artifacts add.
+
+Usage: python scripts/pro_table.py [--outf results/pro]
+"""
+
+import argparse
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def stem(c):
+    return (f"{c['model'].upper()}_{c['dataset']}_seed={c['seed']}"
+            f"_n_part={c['n_balls']}_n_inputs={c['num_inputs']}"
+            f"_dT_1_varDT={c['varDT']}_num_timesteps=10")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outf", type=Path, default=Path("results/pro"))
+    args = ap.parse_args()
+
+    recs = []
+    for ledger in sorted(args.outf.glob("sweep_PRO*.jsonl")):
+        recs += [json.loads(line) for line in ledger.read_text().splitlines()]
+
+    groups = defaultdict(list)
+    for r in recs:
+        c = r["config"]
+        art = args.outf / c.get("exp_name", "_exp_new") / (stem(c) + "_results.npz")
+        ff = tlf = float("nan")
+        if art.exists():
+            d = np.load(art, allow_pickle=True)
+            ff = float(d["finite_fraction"])
+            tlf = float(d["test_loss_finite"])
+        key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
+               bool(c["varDT"]))
+        groups[key].append(
+            {"val": r["best_val_loss"], "test": r["test_loss"],
+             "ff": ff, "tlf": tlf})
+
+    print("| model | dataset | N | inputs | varDT | best val (mean±std) | "
+          "finite frac | loss (finite, median) |")
+    print("|---|---|---|---|---|---|---|---|")
+    for key in sorted(groups):
+        g = groups[key]
+        vals = np.array([x["val"] for x in g], dtype=float)
+        ffs = np.array([x["ff"] for x in g], dtype=float)
+        tlfs = np.array([x["tlf"] for x in g], dtype=float)
+        m, dataset, n, ni, vdt = key
+        std = np.std(vals, ddof=1) if len(vals) > 1 else 0.0
+        print(f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
+              f"| {np.mean(vals):.4f} ± {std:.4f} "
+              f"| {np.nanmean(ffs):.2f} | {np.nanmedian(tlfs):.3g} |")
+
+
+if __name__ == "__main__":
+    main()
