@@ -205,7 +205,7 @@ def main(args):
             else:
                 losses, last = exp.eval_epoch(params, arrays, idx_arrays, perm)
             # reference reports the last-timestep loss as the epoch loss
-            return params, opt_state, float(np.mean(np.asarray(last)))
+            return params, opt_state, jax.numpy.mean(last)
         else:
             arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
             if args.varDT and args.num_inputs > 1:
@@ -220,7 +220,7 @@ def main(args):
                 else:
                     losses = exp.eval_epoch_dynamic(params, arrays, perm,
                                                     mi, frames)
-                return params, opt_state, float(np.mean(np.asarray(losses)))
+                return params, opt_state, jax.numpy.mean(losses)
             steps = exp.sample_steps(ds, rng, args.varDT)
             frames, in_steps, _ = exp.input_frames(ds, steps)
             if train:
@@ -228,21 +228,40 @@ def main(args):
                     params, opt_state, arrays, perm, frames, in_steps)
             else:
                 losses = exp.eval_epoch(params, arrays, perm, frames, in_steps)
-            return params, opt_state, float(np.mean(np.asarray(losses)))
+            return params, opt_state, jax.numpy.mean(losses)
+
+    # Train losses are left ON DEVICE between evals and flushed in ONE
+    # stacked transfer per test_interval: on the tunneled chip each
+    # device->host sync costs ~30 ms of roundtrip latency on top of the
+    # ~38 ms epoch compute, so syncing every epoch nearly halves training
+    # throughput (measured; RESULTS.md). Values/printed lines are identical
+    # to the per-epoch version — they just arrive in test_interval batches.
+    pending = []
+
+    def flush_train_losses():
+        if not pending:
+            return
+        vals = np.asarray(jax.numpy.stack([d for _, d in pending]))
+        for (ep, _), v in zip(pending, vals):
+            v = float(v)
+            results["train loss"].append(v)
+            print(f"train epoch {ep} avg loss: {v:.5f}")
+            logger.log({"train_loss": v}, step=ep)
+        pending.clear()
 
     epoch = 0
     t_start = time.time()
     if not args.only_test:
         for epoch in range(args.epochs):
-            params, opt_state, train_loss = run_train_epoch(
+            params, opt_state, train_loss_dev = run_train_epoch(
                 params, opt_state, ds_train, train=True)
-            results["train loss"].append(train_loss)
-            print(f"train epoch {epoch} avg loss: {train_loss:.5f}")
-            logger.log({"train_loss": train_loss}, step=epoch)
+            pending.append((epoch, train_loss_dev))
             if (epoch % args.test_interval == 0 or epoch == args.epochs - 1) \
                     and epoch > 0:
+                flush_train_losses()
                 _, _, val_loss = run_train_epoch(params, opt_state, ds_val,
                                                  train=False)
+                val_loss = float(np.asarray(val_loss))
                 print(f"==> val epoch {epoch} avg loss: {val_loss:.5f}")
                 results["eval epoch"].append(epoch)
                 results["val loss"].append(val_loss)
@@ -256,6 +275,7 @@ def main(args):
                 if early_stopping.early_stop:
                     print("Early Stopping.")
                     break
+        flush_train_losses()
         print(f"training wall-clock: {time.time() - t_start:.1f}s")
 
     if Path(model_save_path).exists():
