@@ -136,22 +136,35 @@ def main(args):
                "test loss": []}
     best_val = 1e8
     t0 = time.time()
+    # train losses stay on device between evals; ONE stacked transfer per
+    # test_interval (each sync costs ~30 ms of tunnel roundtrip — see
+    # nonode_tpu/main.py flush_train_losses and RESULTS.md)
+    pending = []
+
+    def flush_pending():
+        if pending:
+            results["train loss"].extend(
+                float(v) for v in np.asarray(jnp.stack(pending)))
+            pending.clear()
+
     for epoch in range(args.epochs):
         perm = make_perm(rng, len(ds_train), args.batch_size)
         params, opt_state, tr = train_epoch(params, opt_state, perm)
-        results["train loss"].append(float(tr))
+        pending.append(tr)
         if epoch % args.test_interval == 0 and epoch > 0:
+            flush_pending()
             vperm = make_perm(rng, len(ds_val), args.batch_size, shuffle=False)
             vl = float(eval_epoch(params, vperm, 0))
             results["eval epoch"].append(epoch)
             results["val loss"].append(vl)
             best_val = min(best_val, vl)
-            print(f"epoch {epoch} train {float(tr):.5f} val {vl:.5f} "
-                  f"(best {best_val:.5f})")
+            print(f"epoch {epoch} train {results['train loss'][-1]:.5f} "
+                  f"val {vl:.5f} (best {best_val:.5f})")
             early(vl, params)
             if early.early_stop:
                 print("Early Stopping.")
                 break
+    flush_pending()
     print(f"training wall-clock: {time.time() - t0:.1f}s")
 
     if Path(save_path).exists():
