@@ -29,7 +29,7 @@ def main():
     args = ap.parse_args()
 
     recs = []
-    for ledger in sorted(args.outf.glob("sweep_PRO*.jsonl")):
+    for ledger in sorted(args.outf.glob("sweep_*.jsonl")):
         recs += [json.loads(line) for line in ledger.read_text().splitlines()]
 
     groups = defaultdict(list)
