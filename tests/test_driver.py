@@ -124,3 +124,26 @@ class TestMeshDriver:
                           extra=n4 + ["--dp", "4", "--space", "2"])
         np.testing.assert_allclose(dpsp[0], ref[0], rtol=2e-4)
         np.testing.assert_allclose(dpsp[1], ref[1], rtol=2e-4)
+
+
+class TestDeferredTrainLossFlush:
+    def test_every_epoch_logged(self, tiny_data, tmp_path):
+        """Train losses are flushed from device in test_interval batches
+        (one stacked transfer per eval, see main.py flush_train_losses);
+        the results JSON must still carry one finite entry per epoch —
+        including tail epochs after the last eval point."""
+        import json as _json
+        args = get_args([
+            "--model", "egno", "--dataset", "charged",
+            "--data_dir", str(tiny_data), "--epochs", "5",
+            "--test_interval", "2", "--batch_size", "8",
+            "--max_samples", "24", "--traj_len", "1", "--seed", "7",
+            "--outf", str(tmp_path)])
+        main(args)
+        j = next((tmp_path / "0exp_new").glob("EGNO_*[!s].json"))
+        res = _json.loads(j.read_text())
+        assert len(res["train loss"]) == 5
+        assert all(np.isfinite(v) for v in res["train loss"])
+        # evals at epochs 2 and 4 (epoch 4 == epochs-1 is forced)
+        assert res["eval epoch"] == [2, 4]
+        assert len(res["val loss"]) == 2
