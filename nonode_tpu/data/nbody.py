@@ -85,13 +85,18 @@ class NBodyDataset:
 
         self.start = FRAME0[self.dataset][self.dataset_name]
         self.n_frames = loc.shape[1]
-        # fail loudly instead of producing a zero-width output window deep in
-        # jit (the reference would IndexError on loc[frame_0] the same way)
+        # Guards ONLY the empty-window case (zero frames after frame_0): fail
+        # loudly instead of a zero-width gather deep in jit (the reference
+        # would IndexError on loc[frame_0] the same way). A dataset with
+        # start+1 < n_frames < start + T*traj_len*dT still loads: out_indices
+        # truncates the window, matching the reference's idx[idx < n_frames]
+        # (dataset_simple.py:156-158).
         assert self.start + 1 < self.n_frames, (
-            f"dataset too short: {self.n_frames} saved frames but "
-            f"{self.dataset}/{self.dataset_name} windows start at frame "
-            f"{self.start} (dataset_simple.py:122-123); regenerate with "
-            f"length >= {(self.start + self.num_timesteps) * 100 + 100} "
+            f"dataset has no frames after the window start: {self.n_frames} "
+            f"saved frames but {self.dataset}/{self.dataset_name} windows "
+            f"start at frame {self.start} (dataset_simple.py:122-123); a "
+            f"full untruncated window needs length >= "
+            f"{(self.start + self.num_timesteps) * 100 + 100} "
             f"(sample_freq 100)")
         # device-resident split
         self.loc = jnp.asarray(loc)                     # [S, F, N, 3]

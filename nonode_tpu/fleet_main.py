@@ -147,7 +147,8 @@ def main(args):
         perms = jnp.asarray(fleet.make_perms([rngs[i] for i in alive],
                                              len(ds_train), args.batch_size))
         params, opt_state, _ = train_fn(params, opt_state, perms)
-        if epoch % args.test_interval == 0 and epoch > 0:
+        if (epoch % args.test_interval == 0 or epoch == args.epochs - 1) \
+                and epoch > 0:
             vperm = jnp.asarray(
                 np.arange((len(ds_val) // args.batch_size) * args.batch_size)
                 .reshape(-1, args.batch_size))

@@ -252,30 +252,34 @@ def main(args):
     epoch = 0
     t_start = time.time()
     if not args.only_test:
-        for epoch in range(args.epochs):
-            params, opt_state, train_loss_dev = run_train_epoch(
-                params, opt_state, ds_train, train=True)
-            pending.append((epoch, train_loss_dev))
-            if (epoch % args.test_interval == 0 or epoch == args.epochs - 1) \
-                    and epoch > 0:
-                flush_train_losses()
-                _, _, val_loss = run_train_epoch(params, opt_state, ds_val,
-                                                 train=False)
-                val_loss = float(np.asarray(val_loss))
-                print(f"==> val epoch {epoch} avg loss: {val_loss:.5f}")
-                results["eval epoch"].append(epoch)
-                results["val loss"].append(val_loss)
-                logger.log({"val_loss": val_loss}, step=epoch)
-                if val_loss < best_val_loss:
-                    best_val_loss = val_loss
-                    best_epoch = epoch
-                print("*** Best Val Loss: %.5f \t  Best epoch %d"
-                      % (best_val_loss, best_epoch))
-                early_stopping(val_loss, params)
-                if early_stopping.early_stop:
-                    print("Early Stopping.")
-                    break
-        flush_train_losses()
+        # try/finally so an interrupted run still persists the device-side
+        # pending losses (up to test_interval-1 epochs) to results/wandb
+        try:
+            for epoch in range(args.epochs):
+                params, opt_state, train_loss_dev = run_train_epoch(
+                    params, opt_state, ds_train, train=True)
+                pending.append((epoch, train_loss_dev))
+                if (epoch % args.test_interval == 0
+                        or epoch == args.epochs - 1) and epoch > 0:
+                    flush_train_losses()
+                    _, _, val_loss = run_train_epoch(params, opt_state, ds_val,
+                                                     train=False)
+                    val_loss = float(np.asarray(val_loss))
+                    print(f"==> val epoch {epoch} avg loss: {val_loss:.5f}")
+                    results["eval epoch"].append(epoch)
+                    results["val loss"].append(val_loss)
+                    logger.log({"val_loss": val_loss}, step=epoch)
+                    if val_loss < best_val_loss:
+                        best_val_loss = val_loss
+                        best_epoch = epoch
+                    print("*** Best Val Loss: %.5f \t  Best epoch %d"
+                          % (best_val_loss, best_epoch))
+                    early_stopping(val_loss, params)
+                    if early_stopping.early_stop:
+                        print("Early Stopping.")
+                        break
+        finally:
+            flush_train_losses()
         print(f"training wall-clock: {time.time() - t_start:.1f}s")
 
     if Path(model_save_path).exists():

@@ -74,6 +74,11 @@ def first_edge_linear(p, segments):
     port broadcast them into a [..., N, N, 1+2H+E] concat) disappears.
     """
     w = p["w"]
+    dtypes = {arr.dtype for arr, _ in segments}
+    assert len(dtypes) == 1, (
+        f"first_edge_linear segments mix dtypes {sorted(map(str, dtypes))}; "
+        "precision is chosen once from the first segment, so a mixed call "
+        "would silently change numerics — cast inputs to a common dtype")
     prec = (None if segments[0][0].dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
     off = 0

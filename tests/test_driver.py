@@ -29,6 +29,26 @@ def tiny_data(tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def tiny_data_n4(tmp_path_factory):
+    """4-ball charged data (N divisible by space=2 for dp x space tests)."""
+    from nonode_tpu.sim.simulators import ChargedSim, sample_batch
+    d = tmp_path_factory.mktemp("driver_data_n4")
+    sim = ChargedSim(n_balls=4)
+    for part, n, seed in (("train", 24, 0), ("valid", 16, 1), ("test", 16, 2)):
+        loc, vel, edges, charges = sample_batch(
+            sim, jax.random.PRNGKey(seed), n, 5000, 100)
+        np.save(d / f"loc_{part}_charged4_initvel1small.npy",
+                np.asarray(loc).transpose(0, 1, 3, 2))
+        np.save(d / f"vel_{part}_charged4_initvel1small.npy",
+                np.asarray(vel).transpose(0, 1, 3, 2))
+        np.save(d / f"edges_{part}_charged4_initvel1small.npy",
+                np.asarray(edges))
+        np.save(d / f"charges_{part}_charged4_initvel1small.npy",
+                np.asarray(charges))
+    return d
+
+
 def run_driver(tiny_data, tmp_path, model, extra=()):
     args = get_args([
         "--model", model, "--dataset", "charged",
@@ -96,34 +116,40 @@ class TestMeshDriver:
         arts = list((tmp_path / "0exp_fleet").glob("*_results.npz"))
         assert len(arts) == 3
 
-    def test_dp_space_mesh_matches_single_device(self, tmp_path_factory,
-                                                 tmp_path):
-        """Full dp x space mesh: particle axis sharded over 'space'
-        (requires N % space == 0, driver-enforced) — must reproduce the
-        single-device training."""
+    @pytest.mark.parametrize("model", ["egno", "segno"])
+    def test_dp_space_mesh_matches_single_device(self, tiny_data_n4,
+                                                 tmp_path, model):
+        """Full dp x space mesh for BOTH models: particle axis sharded over
+        'space' (requires N % space == 0, driver-enforced) — must reproduce
+        the single-device training. For SEGNO this exercises the multi-axis
+        P(None,'data',sp)/P('data',sp) constraint path (loop.py:_constrain)."""
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
-        from nonode_tpu.sim.simulators import ChargedSim, sample_batch
-        d = tmp_path_factory.mktemp("driver_data_n4")
-        sim = ChargedSim(n_balls=4)
-        for part, n, seed in (("train", 24, 0), ("valid", 16, 1),
-                              ("test", 16, 2)):
-            loc, vel, edges, charges = sample_batch(
-                sim, jax.random.PRNGKey(seed), n, 5000, 100)
-            np.save(d / f"loc_{part}_charged4_initvel1small.npy",
-                    np.asarray(loc).transpose(0, 1, 3, 2))
-            np.save(d / f"vel_{part}_charged4_initvel1small.npy",
-                    np.asarray(vel).transpose(0, 1, 3, 2))
-            np.save(d / f"edges_{part}_charged4_initvel1small.npy",
-                    np.asarray(edges))
-            np.save(d / f"charges_{part}_charged4_initvel1small.npy",
-                    np.asarray(charges))
         n4 = ["--n_balls", "4"]
-        ref = run_driver(d, tmp_path / "single", "egno", extra=n4)
-        dpsp = run_driver(d, tmp_path / "dpsp", "egno",
+        ref = run_driver(tiny_data_n4, tmp_path / "single", model, extra=n4)
+        dpsp = run_driver(tiny_data_n4, tmp_path / "dpsp", model,
                           extra=n4 + ["--dp", "4", "--space", "2"])
         np.testing.assert_allclose(dpsp[0], ref[0], rtol=2e-4)
         np.testing.assert_allclose(dpsp[1], ref[1], rtol=2e-4)
+
+    def test_fleet_final_epoch_eval(self, tiny_data, tmp_path):
+        """The fleet driver must evaluate at the final epoch even when it
+        falls off the test_interval grid (matching main.py's
+        `or epoch == epochs - 1`): with test_interval > epochs the ONLY
+        eval is the forced final one — without it best_val would stay inf
+        and the exported checkpoints would be the random init."""
+        from nonode_tpu.fleet_main import get_args as fleet_args, \
+            main as fleet_main
+        records = fleet_main(fleet_args([
+            "--model", "segno", "--dataset", "charged",
+            "--data_dir", str(tiny_data), "--epochs", "3",
+            "--test_interval", "10", "--batch_size", "8",
+            "--max_samples", "24", "--traj_len", "1",
+            "--seeds", "1,2", "--outf", str(tmp_path)]))
+        assert len(records) == 2
+        for r in records:
+            assert np.isfinite(r["best_val_loss"])
+            assert r["best_epoch"] == 2
 
 
 class TestDeferredTrainLossFlush:
