@@ -32,6 +32,13 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+# Adjudications of systematic deviations flagged by the two-sided verdict.
+# Keyed by (dataset, model). Filled once a deviation is root-caused (or
+# pinned with a minimal repro); a flagged deviation with no entry here keeps
+# the overall verdict at "DIVERGENCE — OPEN".
+ROOT_CAUSES: dict[tuple[str, str], str] = {}
+
+
 def stem(model, seed, cfg):
     return (f"{model.upper()}_{cfg.dataset}_seed={seed}_n_part={cfg.n_balls}"
             f"_n_inputs=1_dT_1_varDT=False_num_timesteps=10")
@@ -58,6 +65,21 @@ def run(cmd, log_path):
         raise RuntimeError(f"command failed (rc={r.returncode}), log {log_path}")
     print(f"    done in {dt:.0f}s")
     return dt
+
+
+def record_wallclock(cfg, key, seconds):
+    """Persist per-run wall-clock to a JSON sidecar at first run, so a
+    resumed report regeneration (artifacts exist, run skipped) still shows
+    the REAL training time instead of the cache-hit 0s."""
+    p = cfg.workdir / "wallclock.json"
+    d = json.loads(p.read_text()) if p.exists() else {}
+    d[key] = round(seconds, 1)
+    p.write_text(json.dumps(d, indent=2))
+
+
+def load_wallclocks(cfg):
+    p = cfg.workdir / "wallclock.json"
+    return json.loads(p.read_text()) if p.exists() else {}
 
 
 def ensure_data(cfg):
@@ -88,8 +110,9 @@ def run_reference_side(cfg, model, seed):
     ).format(repo=str(REPO),
              argv=["--model", model] + common_argv(cfg, seed, out),
              fix=model == "segno")
-    run([sys.executable, "-c", code],
-        cfg.workdir / f"ref_{model}_s{seed}.log")
+    dt = run([sys.executable, "-c", code],
+             cfg.workdir / f"ref_{model}_s{seed}.log")
+    record_wallclock(cfg, f"ref {model} seed{seed}", dt)
     assert art.exists(), f"reference artifact missing: {art}"
     return art
 
@@ -100,9 +123,10 @@ def run_jax_side(cfg, model, seed):
     if art.exists():
         print(f"[jax {model} s{seed}] exists")
         return art
-    run([sys.executable, "-m", "nonode_tpu.main", "--model", model]
-        + common_argv(cfg, seed, out),
-        cfg.workdir / f"jax_{model}_s{seed}.log")
+    dt = run([sys.executable, "-m", "nonode_tpu.main", "--model", model]
+             + common_argv(cfg, seed, out),
+             cfg.workdir / f"jax_{model}_s{seed}.log")
+    record_wallclock(cfg, f"jax {model} seed{seed}", dt)
     assert art.exists(), f"nonode artifact missing: {art}"
     return art
 
@@ -201,53 +225,108 @@ def write_report(cfg, groups, fig_paths, wallclocks):
     lines += [f"![{p.stem}]({p.as_posix()})" for p in fig_paths]
     lines += [
         "",
-        "## Tolerance statement",
+        "## Tolerance statement (two-sided)",
         "",
         "Training is stochastic on both sides (different RNG streams for "
         "init, batch order, and varDT/window sampling — bitwise parity is "
         "impossible by construction; forward-pass bitwise parity is pinned "
         "separately in tests/test_parity_torch.py with ported weights). The "
-        "anchor therefore compares trained OUTCOMES across seeds:",
+        "anchor therefore compares trained OUTCOMES across seeds, with a "
+        "TWO-SIDED rule — systematically better is a deviation to "
+        "adjudicate, not a free pass. Per model, all of:",
+        "",
+        "1. upper bound: jax group-mean rollout test loss <= 2x the worst "
+        "reference seed (the reference's own cross-seed envelope + 2x);",
+        "2. whole-horizon band: per-timestep MSE geomean ratio in [0.5, 2];",
+        "3. no one-sided drift: NOT (>= 90% of per-timestep ratios on one "
+        "side of 1.0 AND geomean outside [0.67, 1.5]);",
+        "4. no divergent tail: every 4-step sliding window's geomean ratio "
+        "in [1/3, 3].",
+        "",
+        "A model violating any rule is a SYSTEMATIC DEVIATION; it resolves "
+        "to `root-caused` only with an adjudication entry below, else the "
+        "overall verdict stays DIVERGENCE-OPEN.",
         "",
     ]
     verdicts = []
+    flagged = []
     for model in cfg.models:
         gr, gj = groups[("ref", model)], groups[("jax", model)]
         k = min(len(gr["mse_mean"]), len(gj["mse_mean"]))
         ratio = np.asarray(gj["mse_mean"][:k]) / np.asarray(gr["mse_mean"][:k])
-        geo = float(np.exp(np.mean(np.log(ratio))))
+        lratio = np.log(ratio)
+        geo = float(np.exp(lratio.mean()))
         tl_ratio = gj["test_loss_mean"] / gr["test_loss_mean"]
-        # tolerance = the reference's OWN cross-seed envelope (its per-seed
-        # spread at this config can exceed 10x), with 2x slack on top; a
-        # jax mean BELOW the envelope is better-than-reference, not a
-        # parity failure.
         hi = 2.0 * float(np.max(gr["test_losses"]))
-        ok = gj["test_loss_mean"] <= hi
-        verdicts.append(ok)
+        checks = {
+            "upper": gj["test_loss_mean"] <= hi,
+            "band": 0.5 <= geo <= 2.0,
+            "one_sided": not (
+                (max((ratio < 1).mean(), (ratio > 1).mean()) >= 0.9)
+                and not (2 / 3 <= geo <= 1.5)),
+            "tail": all(
+                1 / 3 <= np.exp(lratio[i:i + 4].mean()) <= 3
+                for i in range(max(1, k - 3))),
+        }
+        ok = all(checks.values())
+        failed = [c for c, v in checks.items() if not v]
+        cause = ROOT_CAUSES.get((cfg.dataset, model))
+        if ok:
+            verdict = "PARITY"
+        elif cause is not None:
+            verdict = f"SYSTEMATIC DEVIATION ({', '.join(failed)}) — root-caused"
+        else:
+            verdict = f"SYSTEMATIC DEVIATION ({', '.join(failed)}) — OPEN"
+        verdicts.append(ok or cause is not None)
+        if not ok:
+            flagged.append((model, cause))
+        win = [float(np.exp(lratio[i:i + 4].mean()))
+               for i in range(max(1, k - 3))]
         lines.append(
             f"- **{model}**: ref per-seed test losses "
             f"{[round(t, 5) for t in gr['test_losses']]}, jax "
             f"{[round(t, 5) for t in gj['test_losses']]}; mean ratio "
             f"jax/ref = {tl_ratio:.2f}; per-timestep MSE geomean ratio = "
-            f"{geo:.2f} over the {k}-step horizon — "
-            f"{'WITHIN' if ok else 'OUTSIDE'} tolerance "
-            f"(jax mean {gj['test_loss_mean']:.4f} vs bound {hi:.4f})"
-            + ("; jax is better than the reference mean." if tl_ratio < 1
-               else "."))
+            f"{geo:.2f} over the {k}-step horizon (worst 4-step window "
+            f"{max(win):.2f}, best {min(win):.2f}); upper bound "
+            f"{gj['test_loss_mean']:.4f} vs {hi:.4f} — **{verdict}**")
     lines += [
         "",
-        f"Overall: {'PASS' if all(verdicts) else 'DIVERGENCE — see above'} "
-        "(tolerance: jax group-mean rollout test loss within 2x of the "
-        "worst reference seed at this config; lower is better, not a "
-        "failure).",
+        "Overall: "
+        + ("PASS" if all(verdicts) else "DIVERGENCE — OPEN (see above)")
+        + " (every model at PARITY or with a root-caused adjudication).",
+    ]
+    if flagged:
+        lines += ["", "## Systematic-deviation adjudication", ""]
+        for model, cause in flagged:
+            lines.append(f"- **{model}**: "
+                         + (cause if cause else
+                            "OPEN — not yet root-caused."))
+    lines += [
         "",
         "## Wall-clock (same machine; reference on CPU torch, nonode_tpu on "
         "1 TPU chip)",
         "",
+        "Timings persist to `wallclock.json` at first run, so resumed "
+        "report regenerations show the real training time, not a cache hit.",
+        "",
         "| run | seconds |", "|---|---|",
     ]
     for k_, v in wallclocks.items():
-        lines.append(f"| {k_} | {v:.0f} |")
+        lines.append(f"| {k_} | {v:.0f} |" if v is not None
+                     else f"| {k_} | n/a (pre-sidecar run) |")
+    for model in cfg.models:
+        # speedup over the seeds that have timings on BOTH sides (early
+        # runs predate the sidecar)
+        pairs = [(wallclocks.get(f"ref {model} seed{s}"),
+                  wallclocks.get(f"jax {model} seed{s}"))
+                 for s in cfg.ref_seeds if s in cfg.jax_seeds]
+        pairs = [(r, j) for r, j in pairs if r is not None and j is not None]
+        if pairs and sum(j for _, j in pairs) > 0:
+            lines.append(
+                f"| **{model} speedup (sum ref / sum jax, "
+                f"{len(pairs)} timed seeds)** | "
+                f"**{sum(r for r, _ in pairs) / sum(j for _, j in pairs):.2f}x** |")
     # keep the original charged report path; per-dataset reports otherwise
     name = ("PARITY_E2E.md" if cfg.dataset == "charged"
             else f"PARITY_E2E_{cfg.dataset}.md")
@@ -278,18 +357,20 @@ def main():
 
     ensure_data(cfg)
 
-    arts, wallclocks = {}, {}
+    arts = {}
     for model in cfg.models:
         for seed in cfg.ref_seeds:
-            t0 = time.time()
             arts.setdefault(("ref", model), []).append(
                 run_reference_side(cfg, model, seed))
-            wallclocks[f"ref {model} seed{seed}"] = time.time() - t0
         for seed in cfg.jax_seeds:
-            t0 = time.time()
             arts.setdefault(("jax", model), []).append(
                 run_jax_side(cfg, model, seed))
-            wallclocks[f"jax {model} seed{seed}"] = time.time() - t0
+    saved = load_wallclocks(cfg)
+    wallclocks = {key: saved.get(key)
+                  for model in cfg.models
+                  for side, seeds in (("ref", cfg.ref_seeds),
+                                      ("jax", cfg.jax_seeds))
+                  for key in [f"{side} {model} seed{s}" for s in seeds]}
 
     from nonode_tpu.analysis.results import (analyze_group,
                                              plot_multiple_curves)
