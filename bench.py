@@ -9,7 +9,15 @@ batching whole epochs into one program) and "flops_per_step".
 vs_baseline compares against the reference PyTorch implementation measured on
 this machine's CPU at the identical config (full train step: forward + MSE +
 backward + Adam): 1120.8 ms/step = 228.4 samples/s (torch 2.13 CPU,
-single-thread, measured 2026-08-16; see BASELINE.md for methodology).
+measured 2026-08-16; see BASELINE.md for methodology). Single-thread IS the
+full machine here: this host exposes exactly ONE CPU core (nproc=1), so a
+multi-threaded torch baseline cannot be faster.
+
+``--full`` also emits ROOFLINE rows (bench_compute_bound): compute-bound
+shapes (charged N=20, gravity N=100) with XLA-counted achieved FLOP/s and
+MFU against BOTH the chip's dense bf16 peak and an fp32-HIGHEST-adjusted
+peak (fp32 matmuls on TPU run as a multi-pass bf16 decomposition on the
+MXU; we charge the conventional 6-pass cost, so adjusted peak = bf16/6).
 
 ``python bench.py --full`` additionally reproduces every RESULTS.md
 wall-clock row (datagen, SEGNO step, rollout eval, seed fleet, 1000-body
@@ -64,14 +72,17 @@ def timeit(fn, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def _egno_setup(b=256, n=5, t=10, s=2048):
+FP32_HIGHEST_PASSES = 6  # fp32 HIGHEST matmul = multi-pass bf16 on the MXU
+
+
+def _egno_setup(b=256, n=5, t=10, s=2048, remat=False):
     from nonode_tpu.models.egno import EGNO
     from nonode_tpu.train.loop import EGNOExperiment, make_perm
 
     rng = np.random.RandomState(0)
     model = EGNO(n_layers=4, hidden_nf=64, num_timesteps=t, time_emb_dim=32,
                  num_modes=2)
-    exp = EGNOExperiment(model, lr=1e-4, weight_decay=1e-8)
+    exp = EGNOExperiment(model, lr=1e-4, weight_decay=1e-8, remat=remat)
     params, opt_state = exp.init(jax.random.PRNGKey(0))
 
     n_frames = 60
@@ -92,12 +103,9 @@ def _egno_setup(b=256, n=5, t=10, s=2048):
     return exp, params, opt_state, arrays, idx_arrays, perm
 
 
-def bench_egno_step(b=256):
-    """Headline: canonical EGNO train-step throughput + MFU."""
-    exp, params, opt_state, arrays, idx_arrays, perm = _egno_setup(b=b)
+def _measure_epoch(exp, params, opt_state, arrays, idx_arrays, perm, reps):
+    """(seconds/step, XLA-counted flops/step) for the whole-epoch program."""
     nb = perm.shape[0]
-
-    # XLA's own FLOP count for the whole-epoch program
     try:
         cost = type(exp).train_epoch.lower(
             exp, params, opt_state, arrays, idx_arrays, perm).compile() \
@@ -115,10 +123,16 @@ def bench_egno_step(b=256):
             state[0], state[1], arrays, idx_arrays, perm)
         return losses
 
-    dt = timeit(one_epoch, reps=40) / nb
+    dt = timeit(one_epoch, reps=reps) / nb
+    return dt, (flops_epoch / nb if flops_epoch else 0.0)
 
+
+def bench_egno_step(b=256):
+    """Headline: canonical EGNO train-step throughput + MFU."""
+    exp, params, opt_state, arrays, idx_arrays, perm = _egno_setup(b=b)
+    dt, flops_step = _measure_epoch(exp, params, opt_state, arrays,
+                                    idx_arrays, perm, reps=40)
     peak, kind = _peak_flops()
-    flops_step = flops_epoch / nb if flops_epoch else 0.0
     mfu = (flops_step / dt / peak) if (peak and flops_step) else None
     return {
         "metric": "egno_train_throughput",
@@ -130,6 +144,46 @@ def bench_egno_step(b=256):
         "mfu": round(mfu, 6) if mfu is not None else None,
         "device": kind,
     }
+
+
+def bench_compute_bound():
+    """Roofline rows: compute-bound shapes where the MXU should dominate.
+
+    The canonical config (N=5, hidden 64) is latency/HBM-bound by
+    construction (tiny matmuls); these rows show MFU scaling with N.
+    MFU is reported against BOTH the dense bf16 peak and an
+    fp32-HIGHEST-adjusted peak (bf16 peak / FP32_HIGHEST_PASSES — the
+    framework pins fp32 HIGHEST matmuls for physics parity, which the MXU
+    executes as a multi-pass bf16 decomposition).
+    """
+    peak, kind = _peak_flops()
+    rows = []
+    for name, kw, reps in (
+            ("charged20_B512", dict(b=512, n=20, s=1024, remat=True), 10),
+            ("gravity100_B64", dict(b=64, n=100, s=128, remat=True), 5)):
+        try:
+            exp, params, opt_state, arrays, idx_arrays, perm = \
+                _egno_setup(**kw)
+            dt, flops_step = _measure_epoch(exp, params, opt_state, arrays,
+                                            idx_arrays, perm, reps=reps)
+            row = {
+                "metric": f"roofline_egno_{name}",
+                "value": round(kw["b"] / dt, 1),
+                "unit": "samples/s",
+                "step_ms": round(dt * 1e3, 3),
+                "flops_per_step": int(flops_step),
+                "achieved_tflops": round(flops_step / dt / 1e12, 3),
+                "mfu_bf16_peak": (round(flops_step / dt / peak, 5)
+                                  if peak and flops_step else None),
+                "mfu_fp32_highest_peak": (
+                    round(flops_step / dt / (peak / FP32_HIGHEST_PASSES), 5)
+                    if peak and flops_step else None),
+                "device": kind,
+            }
+        except Exception as e:
+            row = {"metric": f"roofline_egno_{name}", "error": str(e)[:200]}
+        rows.append(row)
+    return rows
 
 
 def bench_datagen():
@@ -228,15 +282,27 @@ def bench_fleet(k=5, epochs=20):
 
 
 def bench_large_n():
-    """RESULTS.md stretch: 1000-body charged, 20k leapfrog steps (Pallas)."""
+    """RESULTS.md stretch: 1000-body charged, 20k leapfrog steps (Pallas).
+
+    Also reports achieved pairwise-interaction rate and an analytic FLOP/s
+    estimate (~22 flops per pair per step: diff 3, r^2 5, rsqrt+cube ~4,
+    q_i q_j/r^3 scale 2, force accum 6, clip/integrate amortized 2) — the
+    kernel is VPU elementwise work, not MXU matmul, so the roofline here is
+    the vector unit + VMEM bandwidth, not the bf16 matmul peak.
+    """
     from nonode_tpu.sim.large import LargeNChargedSim
-    sim = LargeNChargedSim(n_balls=1000)
+    n, steps = 1000, 20000
+    sim = LargeNChargedSim(n_balls=n)
     keys = iter(range(100))
     dt = timeit(lambda: sim.sample_trajectory(
-        jax.random.PRNGKey(next(keys)), T=20000, sample_freq=100)[0],
+        jax.random.PRNGKey(next(keys)), T=steps, sample_freq=100)[0],
         reps=2)
+    pairs_per_s = n * n * steps / dt
     return {"metric": "large_n_1000body_20k_steps", "value": round(dt, 2),
-            "unit": "s"}
+            "unit": "s",
+            "pair_interactions_per_s": round(pairs_per_s / 1e9, 2),
+            "pair_unit": "G pairs/s",
+            "analytic_tflops": round(22 * pairs_per_s / 1e12, 3)}
 
 
 def main():
@@ -248,13 +314,14 @@ def main():
     if args.full:
         results = []
         for fn in (bench_datagen, bench_segno_step, bench_egno_rollout,
-                   bench_fleet, bench_large_n):
+                   bench_fleet, bench_large_n, bench_compute_bound):
             try:
                 r = fn()
             except Exception as e:  # keep the suite going; record the error
                 r = {"metric": fn.__name__, "error": str(e)[:200]}
-            results.append(r)
-            print(json.dumps(r))
+            for row in (r if isinstance(r, list) else [r]):
+                results.append(row)
+                print(json.dumps(row))
         headline = bench_egno_step()
         results.append(headline)
         import pathlib

@@ -20,18 +20,29 @@ FNAME_RE = re.compile(
     r"(?P<model>EGNO|SEGNO)_(?P<dataset>\w+?)_seed=(?P<seed>\d+)"
     r"_n_part=(?P<n_balls>\d+)_n_inputs=(?P<num_inputs>\d+)"
     r"_dT_(?P<dT>\d+)_varDT=(?P<varDT>\w+)"
-    r"_num_timesteps=(?P<num_timesteps>\d+)_results\.npz")
+    r"_num_timesteps=(?P<num_timesteps>\d+)_results\.(?P<fmt>npz|pt)")
+
+SRC_NAME = {"npz": "jax", "pt": "torch"}
 
 
 def scan_results(results_dir) -> dict:
-    """Build {group_key: {seed: artifact_path}} from a results tree."""
+    """Build {group_key: {seed: artifact_path}} from a results tree.
+
+    Indexes BOTH artifact formats — nonode_tpu ``*_results.npz`` and
+    reference torch ``*_results.pt`` pickles (main.py:188-191) — so a mixed
+    tree (e.g. the parity-anchor workdirs) aggregates cross-framework. The
+    source framework becomes part of the group key (``src=torch|jax``):
+    same-config groups from the two frameworks stay separate seed bands,
+    exactly what the reference's cross-run comparison figures plot
+    (plotting.py:981-1116)."""
     registry = {}
-    for path in sorted(Path(results_dir).rglob("*_results.npz")):
+    for path in sorted(Path(results_dir).rglob("*_results.*")):
         m = FNAME_RE.match(path.name)
         if not m:
             continue
         cfg = m.groupdict()
         seed = cfg.pop("seed")
+        cfg["src"] = SRC_NAME[cfg.pop("fmt")]
         key = "_".join(f"{k}={cfg[k]}" for k in sorted(cfg))
         registry.setdefault(key, {})[seed] = str(path)
     return registry
@@ -60,6 +71,18 @@ def build_report(results_dir, out_dir=None):
         rows.append((key.replace("_", " "), agg["test_loss_mean"],
                      agg["test_loss_std"]))
         curves[key] = (agg["mse_mean"], agg["mse_std"])
+
+    if len(curves) > 1:
+        # legend labels: only the fields that differ across groups
+        fields = sorted(set(FNAME_RE.groupindex) - {"seed", "fmt"} | {"src"})
+        parts = [{f: m.group(1)
+                  for f in fields
+                  if (m := re.search(rf"(?:^|_){f}=([^_]+)", k))}
+                 for k in curves]
+        varying = [f for f in fields
+                   if len({p.get(f) for p in parts}) > 1]
+        curves = {" ".join(f"{f}={p[f]}" for f in varying): v
+                  for p, v in zip(parts, curves.values())}
 
     out = {"registry": registry, "groups": report,
            "latex": latex_table(rows) if rows else ""}

@@ -112,6 +112,29 @@ def energy_drift_per_timestep(energy):
         return (drift[..., 0] ** 2).mean(axis=0)
 
 
+def short_horizon_loss(artifact, h=16):
+    """Headline loss at an h-step horizon (default 16 = the reference's
+    40%-cut `test_loss` as it would log at traj_len 4, the parity-anchor
+    config; main_simulation_simple_no.py:239-244). At the grids' traj_len
+    20 the 200-frame `test_loss` is dominated by diverged-sample noise for
+    EGNO (finite fractions <= 0.3, RESULTS.md); this gives every cell a
+    comparable headline number from the stored artifact.
+
+    Returns (loss_all_samples, loss_finite_samples, finite_frac@h)."""
+    preds = np.asarray(artifact["preds"])
+    targets = np.asarray(artifact["targets"])[:, : preds.shape[1]]
+    k = min(h, preds.shape[1])
+    p = _flat(preds)[:, :k]
+    t = _flat(targets)[:, :k]
+    with np.errstate(invalid="ignore", over="ignore"):
+        loss = float(np.mean((p - t) ** 2))
+        bound = 10.0 * max(float(np.abs(t).max()), 1.0)
+        ok = (np.isfinite(p) & (np.abs(p) <= bound)).all(axis=(1, 2))
+        loss_f = float(np.mean((p[ok] - t[ok]) ** 2)) if ok.any() \
+            else float("nan")
+    return loss, loss_f, float(ok.mean())
+
+
 def mean_std_over_seeds(per_seed_curves):
     """[n_seeds, T] -> (mean [T], std [T]); std uses ddof=1 like torch.std."""
     c = np.stack(per_seed_curves)

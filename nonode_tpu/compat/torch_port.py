@@ -63,6 +63,40 @@ def egno_params_from_state_dict(sd, n_layers: int, use_time_conv: bool = True):
     return p
 
 
+def egno_state_dict_from_params(params, n_layers: int):
+    """Inverse of egno_params_from_state_dict: export a nonode_tpu EGNO
+    param pytree as a reference-layout torch state_dict (numpy values;
+    caller wraps in torch tensors). Enables running reference tooling —
+    e.g. the torch rollout (main_simulation_simple_no.py:342-384) — on
+    jax-trained weights for cross-framework adjudication."""
+    out = {}
+
+    def put_linear(prefix, p):
+        out[f"{prefix}.weight"] = np.asarray(p["w"])
+        if "b" in p:
+            out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_mlp(prefix, p):
+        put_linear(f"{prefix}.0", p["l1"])
+        put_linear(f"{prefix}.2", p["l2"])
+
+    put_linear("embedding", params["embedding"])
+    for i, lp in enumerate(params["layers"]):
+        put_mlp(f"layers.{i}.edge_message_net.scalar_net.mlp", lp["edge_net"])
+        put_mlp(f"layers.{i}.coord_net.mlp", lp["coord_net"])
+        if "node_v_net" in lp:
+            put_mlp(f"layers.{i}.node_v_net.mlp", lp["node_v_net"])
+        if "node_net" in lp:
+            put_mlp(f"layers.{i}.node_net.mlp", lp["node_net"])
+    if "time_conv" in params:
+        for i in range(n_layers):
+            out[f"time_conv_modules.{i}.t_conv.weights1"] = \
+                np.asarray(params["time_conv"][i]["t_conv"]["w"])
+            out[f"time_conv_x_modules.{i}.t_conv.weights1"] = \
+                np.asarray(params["time_conv_x"][i]["t_conv"]["w"])
+    return out
+
+
 def segno_params_from_state_dict(sd):
     p = {
         "embedding": _linear(sd, "embedding"),

@@ -10,7 +10,8 @@ from nonode_tpu.analysis.results import (analyze_group, avg_loss_until_corr,
                                          energy_drift_per_timestep,
                                          latex_table, load_artifact,
                                          mean_std_over_seeds,
-                                         mse_per_timestep)
+                                         mse_per_timestep,
+                                         short_horizon_loss)
 from nonode_tpu.parallel.sweep import (DEFAULT_SCHEDULE, config_id,
                                        expand_grid, summarize)
 
@@ -71,6 +72,19 @@ class TestAnalysis:
         assert np.isclose(out["test_loss_mean"], 0.2)
         assert (out["corr_mean"] > 0.9).all()
 
+    def test_short_horizon_loss(self):
+        """loss@h ignores the divergent tail beyond h and its finite-aware
+        companion excludes samples that blow up INSIDE the horizon."""
+        targets = np.zeros((4, 30, 5, 3))
+        preds = np.ones((4, 20, 5, 3))
+        preds[:, 16:] = 1e12          # diverges only beyond step 16
+        preds[3, 5:] = np.inf         # sample 3 diverges inside the horizon
+        loss, loss_f, ff = short_horizon_loss(
+            {"targets": targets, "preds": preds}, h=16)
+        assert not np.isfinite(loss)      # all-sample loss sees the inf
+        assert np.isclose(loss_f, 1.0)    # finite samples: (1-0)^2
+        assert np.isclose(ff, 0.75)
+
     def test_latex_table(self):
         t = latex_table([("egno charged-5", 0.0123, 0.002)])
         assert r"\begin{table}" in t and "0.0123" in t
@@ -103,6 +117,43 @@ class TestRegistry:
         assert np.isclose(g["test_loss_mean"], 0.25)
         assert (tmp_path / "out" / "report.json").exists()
         assert (tmp_path / "out" / "table.tex").exists()
+
+    def test_mixed_framework_tree(self, tmp_path):
+        """A mixed artifact tree (reference torch *_results.pt + nonode
+        *_results.npz, same config) aggregates as TWO seed-band groups keyed
+        by src=torch|jax — the cross-framework comparison the reference's
+        plotting layer performs from wandb artifacts
+        (plotting.py:981-1116)."""
+        import torch
+
+        from nonode_tpu.analysis.registry import build_report, scan_results
+        rng = np.random.RandomState(0)
+        base = ("EGNO_charged_seed={s}_n_part=5_n_inputs=1_dT_1"
+                "_varDT=False_num_timesteps=10_results.{ext}")
+        (tmp_path / "ref").mkdir()
+        (tmp_path / "jax").mkdir()
+        for seed in (1, 2):
+            t = rng.randn(8, 10, 5, 3)
+            np.savez(tmp_path / "jax" / base.format(s=seed, ext="npz"),
+                     targets=t, preds=t[:, :4] + 0.1,
+                     energy_conservation=np.ones((8, 4, 1)), test_loss=0.25)
+            torch.save({"targets": torch.tensor(t),
+                        "preds": torch.tensor(t[:, :4] + 0.2),
+                        "energy_conservation": torch.ones(8, 4, 1),
+                        "test_loss": 0.5},
+                       tmp_path / "ref" / base.format(s=seed, ext="pt"))
+        def src_of(key):
+            return dict(p.split("=") for p in key.split("_")
+                        if "=" in p)["src"]
+
+        reg = scan_results(tmp_path)
+        assert len(reg) == 2
+        assert {src_of(k) for k in reg} == {"torch", "jax"}
+        report = build_report(tmp_path, tmp_path / "out")
+        by_src = {src_of(k): g for k, g in report["groups"].items()}
+        assert np.isclose(by_src["jax"]["test_loss_mean"], 0.25)
+        assert np.isclose(by_src["torch"]["test_loss_mean"], 0.5)
+        assert (tmp_path / "out" / "mse_curves.png").exists()
 
 
 class TestSweep:

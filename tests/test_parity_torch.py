@@ -186,6 +186,25 @@ class TestEGNOParity:
         np.testing.assert_allclose(np.asarray(hj).reshape(-1, hd), ht.numpy(),
                                    rtol=2e-3, atol=2e-3)
 
+    def test_state_dict_round_trip(self, ref):
+        """egno_state_dict_from_params is an exact inverse of
+        egno_params_from_state_dict, and its key set strict-loads into the
+        reference torch model — the contract the cross-framework rollout
+        transplant (scripts/rollout_transplant.py direction B) relies on."""
+        torch = ref.torch
+        from nonode_tpu.compat import egno_state_dict_from_params
+        tm = ref.TorchEGNO(n_layers=3, in_node_nf=2, in_edge_nf=2,
+                           hidden_nf=32, with_v=True, num_modes=2,
+                           num_timesteps=10, time_emb_dim=16, num_inputs=1)
+        sd = tm.state_dict()
+        params = egno_params_from_state_dict(sd, n_layers=3)
+        sd2 = {k: torch.tensor(v)
+               for k, v in egno_state_dict_from_params(params, 3).items()}
+        assert set(sd2) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(sd2[k].numpy(), sd[k].numpy())
+        tm.load_state_dict(sd2, strict=True)
+
     def test_multi_input(self, ref):
         torch = ref.torch
         b, n, hd, t, L = 2, 4, 32, 10, 2
