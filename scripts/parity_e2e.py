@@ -57,6 +57,17 @@ ROOT_CAUSES: dict[tuple[str, str], str] = {
 }
 
 
+def seeds_for(cfg, model, side):
+    """Seed list for (model, side): per-model override, else the global
+    --ref_seeds/--jax_seeds lists. Overrides let one model run at a deeper
+    seed count (e.g. the gravity EGNO 10-vs-10 blowup-rate adjudication)
+    without forcing extra runs for the other models in the same workdir."""
+    over = getattr(cfg, "_per_model_seeds", {}).get(model)
+    if over is not None:
+        return over
+    return cfg.ref_seeds if side == "ref" else cfg.jax_seeds
+
+
 def stem(model, seed, cfg):
     return (f"{model.upper()}_{cfg.dataset}_seed={seed}_n_part={cfg.n_balls}"
             f"_n_inputs=1_dT_1_varDT=False_num_timesteps=10")
@@ -184,7 +195,10 @@ def write_report(cfg, groups, fig_paths, wallclocks):
         "`.npy` data consumed by both. Reference: /root/reference/main.py "
         "run UNMODIFIED on CPU torch (seeds "
         f"{cfg.ref_seeds}); nonode_tpu: `python -m nonode_tpu.main` (seeds "
-        f"{cfg.jax_seeds}). Generated by scripts/parity_e2e.py.",
+        f"{cfg.jax_seeds})"
+        + (f"; per-model overrides {cfg._per_model_seeds}"
+           if cfg._per_model_seeds else "")
+        + ". Generated by scripts/parity_e2e.py.",
         "",
         "## Reference-snapshot bugs encountered (worked around, not fixed",
         "in-place; reference tree is read-only)",
@@ -216,7 +230,7 @@ def write_report(cfg, groups, fig_paths, wallclocks):
     for model in cfg.models:
         for side in ("ref", "jax"):
             g = groups[(side, model)]
-            seeds = cfg.ref_seeds if side == "ref" else cfg.jax_seeds
+            seeds = seeds_for(cfg, model, side)
             lines.append(
                 f"| {model} | {'reference (torch)' if side == 'ref' else 'nonode_tpu'} "
                 f"| {seeds} | {g['best_val_mean']:.5f} | "
@@ -338,7 +352,8 @@ def write_report(cfg, groups, fig_paths, wallclocks):
         # runs predate the sidecar)
         pairs = [(wallclocks.get(f"ref {model} seed{s}"),
                   wallclocks.get(f"jax {model} seed{s}"))
-                 for s in cfg.ref_seeds if s in cfg.jax_seeds]
+                 for s in seeds_for(cfg, model, "ref")
+                 if s in seeds_for(cfg, model, "jax")]
         pairs = [(r, j) for r, j in pairs if r is not None and j is not None]
         if pairs and sum(j for _, j in pairs) > 0:
             lines.append(
@@ -369,7 +384,14 @@ def main():
     ap.add_argument("--models", nargs="+", default=["egno", "segno"])
     ap.add_argument("--ref_seeds", type=int, nargs="+", default=[1, 2, 3])
     ap.add_argument("--jax_seeds", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--model_seeds", nargs="*", default=[],
+                    help="per-model seed override 'MODEL=1,2,3' applied to "
+                    "BOTH sides (e.g. 'egno=1,2,3,4,5,6,7,8,9,10')")
     cfg = ap.parse_args()
+    cfg._per_model_seeds = {}
+    for spec in cfg.model_seeds:
+        model, _, csv = spec.partition("=")
+        cfg._per_model_seeds[model] = [int(v) for v in csv.split(",")]
     cfg.data_dir = cfg.workdir / "data"
     cfg.workdir.mkdir(parents=True, exist_ok=True)
 
@@ -377,18 +399,18 @@ def main():
 
     arts = {}
     for model in cfg.models:
-        for seed in cfg.ref_seeds:
+        for seed in seeds_for(cfg, model, "ref"):
             arts.setdefault(("ref", model), []).append(
                 run_reference_side(cfg, model, seed))
-        for seed in cfg.jax_seeds:
+        for seed in seeds_for(cfg, model, "jax"):
             arts.setdefault(("jax", model), []).append(
                 run_jax_side(cfg, model, seed))
     saved = load_wallclocks(cfg)
     wallclocks = {key: saved.get(key)
                   for model in cfg.models
-                  for side, seeds in (("ref", cfg.ref_seeds),
-                                      ("jax", cfg.jax_seeds))
-                  for key in [f"{side} {model} seed{s}" for s in seeds]}
+                  for side in ("ref", "jax")
+                  for key in [f"{side} {model} seed{s}"
+                              for s in seeds_for(cfg, model, side)]}
 
     from nonode_tpu.analysis.results import (analyze_group,
                                              plot_multiple_curves)

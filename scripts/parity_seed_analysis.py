@@ -37,12 +37,17 @@ def seed_row(workdir, side, model, seed, dataset, n_balls):
     preds = np.asarray(art["preds"])
     targets = np.asarray(art["targets"])[:, : preds.shape[1]]
     mse = np.asarray(mse_per_timestep(targets, preds))
+    # per-sample MSE over the final 4-step window: the tail where the
+    # round-2 gravity deviation lives. Non-finite -> inf so it counts blown.
+    tail = ((preds - targets) ** 2).mean(axis=(2, 3))[:, -4:].mean(axis=1)
+    tail = np.where(np.isfinite(tail), tail, np.inf)
     with open(workdir / side / "0exp_new" / f"{s}.json") as f:
         j = json.load(f)
     return {
         "best_val": min(j["val loss"]) if j.get("val loss") else float("nan"),
         "test_loss": float(np.asarray(art["test_loss"])),
         "mse": mse,
+        "sample_tail": tail,
     }
 
 
@@ -54,27 +59,37 @@ def main():
     ap.add_argument("--n_balls", type=int, default=5)
     ap.add_argument("--models", nargs="+", default=["egno", "segno"])
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--ref_seeds", type=int, nargs="+", default=None,
+                    help="override --seeds for the ref side (asymmetric "
+                    "seed counts, e.g. a 10-vs-10 blowup-rate comparison)")
+    ap.add_argument("--jax_seeds", type=int, nargs="+", default=None)
+    ap.add_argument("--blowup_threshold", type=float, default=1.0,
+                    help="per-sample tail-window MSE above this counts as a "
+                    "blown (divergent) rollout sample")
     args = ap.parse_args()
+    side_seeds = {"ref": args.ref_seeds or args.seeds,
+                  "jax": args.jax_seeds or args.seeds}
 
     out = {}
     for model in args.models:
         rows = {side: {s: seed_row(args.workdir, side, model, s,
                                    args.dataset, args.n_balls)
-                       for s in args.seeds}
+                       for s in side_seeds[side]}
                 for side in ("ref", "jax")}
         print(f"\n=== {model} ({args.dataset}-{args.n_balls}) ===")
-        print(f"{'seed':>4} | {'ref best_val':>12} {'ref test':>10} | "
-              f"{'jax best_val':>12} {'jax test':>10}")
-        for s in args.seeds:
-            r, j = rows["ref"][s], rows["jax"][s]
-            print(f"{s:>4} | {r['best_val']:>12.5f} {r['test_loss']:>10.5f} | "
-                  f"{j['best_val']:>12.5f} {j['test_loss']:>10.5f}")
+        for side in ("ref", "jax"):
+            print(f"{side} {'seed':>4} | {'best_val':>10} {'test':>10}")
+            for s in side_seeds[side]:
+                r = rows[side][s]
+                print(f"{side} {s:>4} | {r['best_val']:>10.5f} "
+                      f"{r['test_loss']:>10.5f}")
 
         # group mean vs per-seed MEDIAN curves: a mean/median divergence on
         # one side = outlier-driven deviation, not a systematic mechanism
         k = min(min(len(r["mse"]) for r in rows[s_].values())
                 for s_ in ("ref", "jax"))
-        curves = {s_: np.stack([rows[s_][s]["mse"][:k] for s in args.seeds])
+        curves = {s_: np.stack([rows[s_][s]["mse"][:k]
+                                for s in side_seeds[s_]])
                   for s_ in ("ref", "jax")}
         for name, agg in (("mean", np.mean), ("median", np.median)):
             ratio = agg(curves["jax"], axis=0) / agg(curves["ref"], axis=0)
@@ -87,19 +102,65 @@ def main():
             lo = curves[other].min(axis=0)
             hi = curves[other].max(axis=0)
             frac = [float(((curves[s_][i] >= lo) & (curves[s_][i] <= hi))
-                          .mean()) for i in range(len(args.seeds))]
+                          .mean()) for i in range(len(side_seeds[s_]))]
             print(f"{s_} seeds inside {other} min-max band "
                   f"(fraction of steps): "
                   f"{' '.join(f'{v:.2f}' for v in frac)}")
+
+        # Per-sample blowup adjudication: the rollout tail at chaotic
+        # configs is dominated by a few divergent test trajectories. If the
+        # SAME sample indices blow up on both sides, the failure mode is
+        # shared (sample-level chaos) and only the per-seed event frequency
+        # can differ; quantify that frequency difference statistically.
+        thr = args.blowup_threshold
+        blown = {s_: {s: set(np.flatnonzero(
+                          rows[s_][s]["sample_tail"] > thr).tolist())
+                      for s in side_seeds[s_]} for s_ in ("ref", "jax")}
+        n_samples = len(rows["ref"][side_seeds["ref"][0]]["sample_tail"])
+        union = {s_: sorted(set().union(*blown[s_].values()))
+                 for s_ in ("ref", "jax")}
+        counts = {s_: [len(blown[s_][s]) for s in side_seeds[s_]]
+                  for s_ in ("ref", "jax")}
+        shared = sorted(set(union["ref"]) & set(union["jax"]))
+        print(f"blown samples (tail-window MSE > {thr:g}):")
+        for s_ in ("ref", "jax"):
+            rate = sum(counts[s_]) / (n_samples * len(side_seeds[s_]))
+            print(f"  {s_}: union {union[s_]}  per-seed counts {counts[s_]}"
+                  f"  event rate {rate:.4f}")
+        print(f"  shared sample indices: {shared} "
+              f"({len(shared)}/{len(set(union['ref']) | set(union['jax']))} "
+              f"of the union)")
+        stats_out = {}
+        try:
+            from scipy import stats as sps
+            fisher = sps.fisher_exact(
+                [[sum(counts["jax"]),
+                  n_samples * len(side_seeds["jax"]) - sum(counts["jax"])],
+                 [sum(counts["ref"]),
+                  n_samples * len(side_seeds["ref"]) - sum(counts["ref"])]])
+            mwu = sps.mannwhitneyu(counts["jax"], counts["ref"],
+                                   alternative="two-sided")
+            print(f"  pooled event-rate Fisher: odds={fisher[0]:.2f} "
+                  f"p={fisher[1]:.3f}; per-seed count Mann-Whitney "
+                  f"p={mwu.pvalue:.3f}")
+            stats_out = {"fisher_odds": float(fisher[0]),
+                         "fisher_p": float(fisher[1]),
+                         "mannwhitney_p": float(mwu.pvalue)}
+        except ImportError:
+            print("  (scipy unavailable — skipping significance tests)")
+
         out[model] = {
-            "ref": {s: {"best_val": rows["ref"][s]["best_val"],
-                        "test_loss": rows["ref"][s]["test_loss"],
-                        "mse": rows["ref"][s]["mse"][:k].tolist()}
-                    for s in args.seeds},
-            "jax": {s: {"best_val": rows["jax"][s]["best_val"],
-                        "test_loss": rows["jax"][s]["test_loss"],
-                        "mse": rows["jax"][s]["mse"][:k].tolist()}
-                    for s in args.seeds},
+            s_: {s: {"best_val": rows[s_][s]["best_val"],
+                     "test_loss": rows[s_][s]["test_loss"],
+                     "mse": rows[s_][s]["mse"][:k].tolist(),
+                     "blown_samples": sorted(blown[s_][s])}
+                 for s in side_seeds[s_]}
+            for s_ in ("ref", "jax")
+        }
+        out[model]["blowup"] = {
+            "threshold": thr, "n_samples": n_samples,
+            "union": union, "shared": shared,
+            "per_seed_counts": counts, **stats_out,
         }
     with open(args.workdir / "seed_analysis.json", "w") as f:
         json.dump(out, f, indent=2)
