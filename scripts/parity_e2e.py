@@ -54,6 +54,34 @@ ROOT_CAUSES: dict[tuple[str, str], str] = {
         "the sampled seeds. Per-seed evidence: "
         "results/parity_e2e_charged/seed_analysis.json "
         "(scripts/parity_seed_analysis.py).",
+    ("gravity", "egno"):
+        "the `tail` violation (group-mean per-step ratio spiking 3-33x at "
+        "steps 11-16) is SEED-SAMPLING NOISE of a failure mode the two "
+        "frameworks SHARE, not a mechanism difference. Mechanics: the "
+        "weight-transplant harness (scripts/rollout_transplant.py) runs "
+        "reference-trained weights through the nonode rollout and "
+        "nonode-trained weights through the reference's unmodified torch "
+        "rollout — both directions reproduce the native per-step curves to "
+        "geomean ratio 1.000 (results/parity_e2e_gravity/transplant.json), "
+        "so eval/rollout feedback is equivalent; init distributions match "
+        "torch defaults and the optimizer is torch-semantics Adam "
+        "(L2-in-grad), pinned by tests/test_parity_torch.py. Outcomes at "
+        "10 seeds/side: rollout blowups concentrate on the SAME chaotic "
+        "test trajectories ({4,15,42,118,144,156,162,175} — 8/10 of the "
+        "blown-sample union shared, one private sample per side), with "
+        "per-seed blown counts ref [2,0,2,4,2,0,5,2,7,8] vs jax "
+        "[2,6,2,7,5,5,6,1,2,4]: pooled event rate 1.6% vs 2.0% (Fisher "
+        "odds 1.26, p=0.41), per-seed Mann-Whitney p=0.46 — statistically "
+        "indistinguishable — and uncorrelated with convergence quality "
+        "(Spearman(best_val, blown count) = -0.06). The round-2 5-seed "
+        "group mean flagged 5-10x because the unbounded per-sample loss "
+        "of a diverged chaotic trajectory (Lyapunov growth makes the "
+        "magnitude arbitrary) lands on whichever side's unlucky seeds were "
+        "sampled: at 10v10 the seed-MEDIAN per-step ratio is geomean 1.15 "
+        "(steps 1-10 at 0.85-1.03) and 9/10 ref seeds lie inside the jax "
+        "min-max band at >=81% of steps. Per-seed evidence: "
+        "results/parity_e2e_gravity/seed_analysis.json "
+        "(scripts/parity_seed_analysis.py, 10 seeds/side).",
 }
 
 
@@ -344,6 +372,9 @@ def write_report(cfg, groups, fig_paths, wallclocks):
         "",
         "| run | seconds |", "|---|---|",
     ]
+    note = load_wallclocks(cfg).get("_note")
+    if note:
+        lines[-3:-3] = [note, ""]
     for k_, v in wallclocks.items():
         lines.append(f"| {k_} | {v:.0f} |" if v is not None
                      else f"| {k_} | n/a (pre-sidecar run) |")
