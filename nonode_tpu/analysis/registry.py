@@ -12,6 +12,7 @@ Run as a CLI:
 from __future__ import annotations
 
 import argparse
+import fnmatch
 import json
 import re
 from pathlib import Path
@@ -25,7 +26,7 @@ FNAME_RE = re.compile(
 SRC_NAME = {"npz": "jax", "pt": "torch"}
 
 
-def scan_results(results_dir) -> dict:
+def scan_results(results_dir, exclude=("transplant*",)) -> dict:
     """Build {group_key: {seed: artifact_path}} from a results tree.
 
     Indexes BOTH artifact formats — nonode_tpu ``*_results.npz`` and
@@ -34,9 +35,18 @@ def scan_results(results_dir) -> dict:
     source framework becomes part of the group key (``src=torch|jax``):
     same-config groups from the two frameworks stay separate seed bands,
     exactly what the reference's cross-run comparison figures plot
-    (plotting.py:981-1116)."""
+    (plotting.py:981-1116).
+
+    Skips any artifact under a directory matching one of ``exclude``
+    (fnmatch patterns): auxiliary trees like the parity workdirs'
+    ``transplant*`` dirs hold cross-framework weight-transplant rollouts
+    whose filenames are indistinguishable from native runs and would
+    silently overwrite same-seed native entries."""
     registry = {}
     for path in sorted(Path(results_dir).rglob("*_results.*")):
+        parts = path.relative_to(results_dir).parts[:-1]
+        if any(fnmatch.fnmatch(p, pat) for p in parts for pat in exclude):
+            continue
         m = FNAME_RE.match(path.name)
         if not m:
             continue
@@ -48,12 +58,12 @@ def scan_results(results_dir) -> dict:
     return registry
 
 
-def build_report(results_dir, out_dir=None):
+def build_report(results_dir, out_dir=None, exclude=("transplant*",)):
     """Aggregate every seed group: mean/std curves, test losses, LaTeX table,
     and (optionally) figures."""
     from .results import analyze_group, latex_table, plot_multiple_curves
 
-    registry = scan_results(results_dir)
+    registry = scan_results(results_dir, exclude=exclude)
     report = {}
     rows = []
     curves = {}
@@ -106,8 +116,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--results", type=str, default="results")
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--exclude", nargs="*", default=["transplant*"],
+                        help="fnmatch dir patterns to skip while scanning")
     args = parser.parse_args(argv)
-    out = build_report(args.results, args.out)
+    out = build_report(args.results, args.out, exclude=tuple(args.exclude))
     for key, g in out["groups"].items():
         print(f"{key}: test_loss {g['test_loss_mean']:.5f} "
               f"± {g['test_loss_std']:.5f} (seeds: {','.join(g['seeds'])})")

@@ -155,6 +155,34 @@ class TestRegistry:
         assert np.isclose(by_src["torch"]["test_loss_mean"], 0.5)
         assert (tmp_path / "out" / "mse_curves.png").exists()
 
+    def test_exclude_transplant_dirs(self, tmp_path):
+        """Artifacts under transplant* dirs (cross-framework weight-
+        transplant rollouts, scripts/rollout_transplant.py) carry native-run
+        filenames; the scanner must skip them or they silently OVERWRITE
+        same-seed native entries (transplant_b sorts after ref/)."""
+        import torch
+
+        from nonode_tpu.analysis.registry import scan_results
+        rng = np.random.RandomState(0)
+        name = ("EGNO_charged_seed=1_n_part=5_n_inputs=1_dT_1"
+                "_varDT=False_num_timesteps=10_results.pt")
+        t = rng.randn(8, 10, 5, 3)
+        for d, loss in [("ref", 0.5), ("transplant_b", 99.0)]:
+            (tmp_path / d).mkdir()
+            torch.save({"targets": torch.tensor(t),
+                        "preds": torch.tensor(t[:, :4]),
+                        "energy_conservation": torch.ones(8, 4, 1),
+                        "test_loss": loss}, tmp_path / d / name)
+        from pathlib import Path
+
+        reg = scan_results(tmp_path)
+        (paths,), = [g.values() for g in reg.values()]
+        assert Path(paths).parent.name == "ref"
+        # opting out of the exclusion picks the overwriting entry back up
+        reg_all = scan_results(tmp_path, exclude=())
+        (paths_all,), = [g.values() for g in reg_all.values()]
+        assert Path(paths_all).parent.name == "transplant_b"
+
 
 class TestSweep:
     def test_expand_base_grid(self):
