@@ -75,13 +75,13 @@ def timeit(fn, reps):
 FP32_HIGHEST_PASSES = 6  # fp32 HIGHEST matmul = multi-pass bf16 on the MXU
 
 
-def _egno_setup(b=256, n=5, t=10, s=2048, remat=False):
+def _egno_setup(b=256, n=5, t=10, s=2048, remat=False, hidden=64):
     from nonode_tpu.models.egno import EGNO
     from nonode_tpu.train.loop import EGNOExperiment, make_perm
 
     rng = np.random.RandomState(0)
-    model = EGNO(n_layers=4, hidden_nf=64, num_timesteps=t, time_emb_dim=32,
-                 num_modes=2)
+    model = EGNO(n_layers=4, hidden_nf=hidden, num_timesteps=t,
+                 time_emb_dim=32, num_modes=2)
     exp = EGNOExperiment(model, lr=1e-4, weight_decay=1e-8, remat=remat)
     params, opt_state = exp.init(jax.random.PRNGKey(0))
 
@@ -160,7 +160,11 @@ def bench_compute_bound():
     rows = []
     for name, kw, reps in (
             ("charged20_B512", dict(b=512, n=20, s=1024, remat=True), 10),
-            ("gravity100_B64", dict(b=64, n=100, s=128, remat=True), 5)):
+            ("gravity100_B64", dict(b=64, n=100, s=128, remat=True), 5),
+            # width scaling: canonical N=5 graph at 4x hidden — MFU should
+            # rise with matmul width even at small N
+            ("charged5_h256_B512", dict(b=512, n=5, s=1024, hidden=256,
+                                        remat=True), 10)):
         try:
             exp, params, opt_state, arrays, idx_arrays, perm = \
                 _egno_setup(**kw)

@@ -1,0 +1,104 @@
+"""Join the 300-epoch and reference-protocol sweep ledgers into one table.
+
+The reference sweep protocol is epochs<=1000 with patience-15 early stopping
+(/root/reference/main.py:37-45; _schedule.yaml pins no epochs). The round-2
+grids truncated at 300 epochs; the round-3 rerun (results/{base_ref,pro_ref})
+restores the reference protocol. This script emits the side-by-side section
+for RESULTS.md: per group, best-val mean+-std under both protocols, the
+median best_epoch under the reference protocol (how many cells actually
+needed >300 epochs), and the loss@16 headline under the reference protocol.
+
+Usage:
+  python scripts/protocol_compare.py --short results/base --ref results/base_ref
+  python scripts/protocol_compare.py --short results/pro  --ref results/pro_ref
+"""
+
+import argparse
+import json
+from collections import defaultdict
+from pathlib import Path
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from nonode_tpu.analysis.results import short_horizon_loss  # noqa: E402
+
+
+def stem(c):
+    return (f"{c['model'].upper()}_{c['dataset']}_seed={c['seed']}"
+            f"_n_part={c['n_balls']}_n_inputs={c['num_inputs']}"
+            f"_dT_1_varDT={c['varDT']}_num_timesteps=10")
+
+
+def load(outf):
+    """group key -> list of per-seed records (ledger + artifact metrics)."""
+    outf = Path(outf)
+    recs = []
+    for ledger in sorted(outf.glob("sweep_*.jsonl")):
+        recs += [json.loads(line) for line in ledger.read_text().splitlines()]
+    groups = defaultdict(list)
+    for r in recs:
+        c = r["config"]
+        art = outf / c.get("exp_name", "_exp_new") / (stem(c) + "_results.npz")
+        h16 = ff16 = float("nan")
+        if art.exists():
+            d = np.load(art, allow_pickle=True)
+            h16, _, ff16 = short_horizon_loss(d)
+        key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
+               bool(c["varDT"]))
+        groups[key].append({"val": r["best_val_loss"],
+                            "best_epoch": r["best_epoch"],
+                            "h16": h16, "ff16": ff16})
+    return groups
+
+
+def fmt_ms(vals):
+    vals = np.asarray(vals, dtype=float)
+    std = np.std(vals, ddof=1) if len(vals) > 1 else 0.0
+    return f"{np.mean(vals):.4f} ± {std:.4f}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--short", type=Path, required=True,
+                    help="300-epoch ledger dir")
+    ap.add_argument("--ref", type=Path, required=True,
+                    help="reference-protocol ledger dir")
+    args = ap.parse_args()
+
+    short, ref = load(args.short), load(args.ref)
+    keys = sorted(ref)  # the ref rerun defines the rows (PRO_HEADLINE subset)
+
+    print("| model | dataset | N | inputs | varDT | best val «300ep» | "
+          "best val «ref» | Δ | best_epoch «ref» (med [min-max]) | "
+          "loss@16 «ref» (med) | finite@16 |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    n_late = n_cells = 0
+    for key in keys:
+        g_ref = ref[key]
+        g_short = short.get(key, [])
+        m, dataset, n, ni, vdt = key
+        vals_ref = np.array([x["val"] for x in g_ref], dtype=float)
+        epochs = np.array([x["best_epoch"] for x in g_ref], dtype=float)
+        h16s = np.array([x["h16"] for x in g_ref], dtype=float)
+        ff16s = np.array([x["ff16"] for x in g_ref], dtype=float)
+        n_late += int((epochs >= 300).sum())
+        n_cells += len(epochs)
+        delta = ""
+        if g_short:
+            vs = np.mean([x["val"] for x in g_short])
+            delta = f"{(np.mean(vals_ref) - vs) / vs * 100:+.0f}%"
+        print(f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
+              f"| {fmt_ms([x['val'] for x in g_short]) if g_short else '—'} "
+              f"| {fmt_ms(vals_ref)} | {delta} "
+              f"| {int(np.median(epochs))} [{int(epochs.min())}-"
+              f"{int(epochs.max())}] "
+              f"| {np.nanmedian(h16s):.3g} | {np.nanmean(ff16s):.2f} |")
+    print(f"\n{n_late}/{n_cells} reference-protocol cells reached their best "
+          f"validation at epoch ≥ 300, i.e. were structurally unconverged "
+          f"under the 300-epoch truncation.")
+
+
+if __name__ == "__main__":
+    main()

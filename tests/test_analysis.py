@@ -211,3 +211,47 @@ class TestSweep:
         key = json.dumps({"model": "egno"}, sort_keys=True)
         assert np.isclose(s[key]["mean"], 0.2)
         assert s[key]["n_seeds"] == 2
+
+
+class TestProtocolCompare:
+    """scripts/protocol_compare.py — the «300ep vs ref-protocol» join."""
+
+    @staticmethod
+    def _write_outf(outf, best_val, best_epoch, seeds=(1, 2)):
+        rng = np.random.RandomState(0)
+        art_dir = outf / "_exp_new"
+        art_dir.mkdir(parents=True)
+        with open(outf / "sweep_TEST.jsonl", "w") as f:
+            for s in seeds:
+                cfg = {"exp_name": "_exp_new", "dataset": "charged",
+                       "model": "egno", "n_balls": 5, "num_inputs": 1,
+                       "varDT": False, "seed": s}
+                f.write(json.dumps({
+                    "config_id": f"seed={s}", "config": cfg,
+                    "test_loss": 1.0, "best_val_loss": best_val,
+                    "best_epoch": best_epoch}) + "\n")
+                targets = rng.randn(4, 20, 5, 3).astype(np.float32)
+                stem = (f"EGNO_charged_seed={s}_n_part=5_n_inputs=1"
+                        f"_dT_1_varDT=False_num_timesteps=10_results.npz")
+                np.savez(art_dir / stem, targets=targets,
+                         preds=targets[:, :8] + 0.1, test_loss=1.0)
+
+    def test_join_and_unconverged_count(self, tmp_path):
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        short, ref = tmp_path / "short", tmp_path / "ref"
+        self._write_outf(short, best_val=0.02, best_epoch=295)
+        self._write_outf(ref, best_val=0.01, best_epoch=950)
+        script = Path(__file__).resolve().parent.parent / "scripts" \
+            / "protocol_compare.py"
+        out = subprocess.run(
+            [_sys.executable, str(script), "--short", str(short),
+             "--ref", str(ref)], capture_output=True, text=True, check=True,
+        ).stdout
+        row = [ln for ln in out.splitlines() if ln.startswith("| egno")][0]
+        assert "0.0200" in row and "0.0100" in row   # both protocols joined
+        assert "-50%" in row                          # delta vs 300ep
+        assert "950 [950-950]" in row                 # ref best_epoch spread
+        assert "2/2 reference-protocol cells" in out  # unconverged tally
