@@ -206,11 +206,11 @@ def bench_datagen():
             "unit": "traj/s", "wall_s_per_2000": round(dt, 4)}
 
 
-def bench_segno_step(b=256):
+def bench_segno_step(b=256, s=2048, reps=40):
     from nonode_tpu.models.segno import SEGNO
     from nonode_tpu.train.loop import SEGNOExperiment, make_perm
 
-    s, n = 2048, 5
+    n = 5
     rng = np.random.RandomState(0)
     model = SEGNO(hidden_nf=64, n_layers=8)
     exp = SEGNOExperiment(model, num_timesteps=10, lr=5e-3,
@@ -225,6 +225,16 @@ def bench_segno_step(b=256):
     perm = make_perm(np.random.RandomState(0), s, b)
     nb = perm.shape[0]
 
+    try:
+        cost = type(exp).train_epoch.lower(
+            exp, params, opt_state, arrays, perm, frames, in_steps) \
+            .compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_step = float(cost.get("flops", 0.0)) / nb
+    except Exception:
+        flops_step = 0.0
+
     state = [params, opt_state]
 
     def one_epoch():
@@ -232,9 +242,14 @@ def bench_segno_step(b=256):
             state[0], state[1], arrays, perm, frames, in_steps)
         return losses
 
-    dt = timeit(one_epoch, reps=40) / nb
+    dt = timeit(one_epoch, reps=reps) / nb
+    peak, kind = _peak_flops()
     return {"metric": "segno_train_throughput", "value": round(b / dt, 1),
-            "unit": "samples/s", "step_ms": round(dt * 1e3, 4)}
+            "unit": "samples/s", "step_ms": round(dt * 1e3, 4),
+            "flops_per_step": int(flops_step),
+            "mfu": (round(flops_step / dt / peak, 6)
+                    if peak and flops_step else None),
+            "device": kind}
 
 
 def bench_egno_rollout(b=256, traj_len=20):
