@@ -26,6 +26,18 @@ FNAME_RE = re.compile(
 SRC_NAME = {"npz": "jax", "pt": "torch"}
 
 
+def artifact_stem(model, dataset, seed, n_balls, num_inputs=1, dT=1,
+                  varDT=False, num_timesteps=10):
+    """Canonical artifact/checkpoint stem — the single definition of the
+    filename contract the drivers write (main.py/fleet_main.py save paths,
+    matching the reference's model_save_path, /root/reference/main.py:101-104
+    and artifact save :188-191) and every analysis script parses. Always
+    matches FNAME_RE with `_results.npz|pt` appended."""
+    return (f"{model.upper()}_{dataset}_seed={seed}_n_part={n_balls}"
+            f"_n_inputs={num_inputs}_dT_{dT}_varDT={varDT}"
+            f"_num_timesteps={num_timesteps}")
+
+
 def scan_results(results_dir, exclude=("transplant*",)) -> dict:
     """Build {group_key: {seed: artifact_path}} from a results tree.
 
@@ -83,12 +95,19 @@ def build_report(results_dir, out_dir=None, exclude=("transplant*",)):
         curves[key] = (agg["mse_mean"], agg["mse_std"])
 
     if len(curves) > 1:
-        # legend labels: only the fields that differ across groups
+        # legend labels: only the fields that differ across groups. Fields
+        # are re-parsed from an artifact FILENAME (FNAME_RE), not from the
+        # underscore-joined group key — values may themselves contain
+        # underscores (e.g. dataset 'charged_a'), which a key split would
+        # truncate and collapse distinct groups into one label.
         fields = sorted(set(FNAME_RE.groupindex) - {"seed", "fmt"} | {"src"})
-        parts = [{f: m.group(1)
-                  for f in fields
-                  if (m := re.search(rf"(?:^|_){f}=([^_]+)", k))}
-                 for k in curves]
+        parts = []
+        for key in curves:
+            name = Path(next(iter(registry[key].values()))).name
+            cfg = FNAME_RE.match(name).groupdict()
+            cfg["src"] = SRC_NAME[cfg.pop("fmt")]
+            cfg.pop("seed")
+            parts.append(cfg)
         varying = [f for f in fields
                    if len({p.get(f) for p in parts}) > 1]
         curves = {" ".join(f"{f}={p[f]}" for f in varying): v

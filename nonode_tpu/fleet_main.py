@@ -147,6 +147,8 @@ def main(args):
         perms = jnp.asarray(fleet.make_perms([rngs[i] for i in alive],
                                              len(ds_train), args.batch_size))
         params, opt_state, _ = train_fn(params, opt_state, perms)
+        # gate matches the reference exactly (main.py:156), including its
+        # `epoch > 0` quirk: a 1-epoch run never evaluates on either side
         if (epoch % args.test_interval == 0 or epoch == args.epochs - 1) \
                 and epoch > 0:
             vperm = jnp.asarray(
@@ -188,9 +190,9 @@ def main(args):
     records = []
     for i, seed in enumerate(seeds):
         p_i = jax.tree.map(lambda a: a[i], best_params)
-        stem = (f"{args.model.upper()}_{args.dataset}_seed={seed}"
-                f"_n_part={args.n_balls}_n_inputs=1_dT_1_varDT=False"
-                f"_num_timesteps={args.num_timesteps}")
+        from nonode_tpu.analysis.registry import artifact_stem
+        stem = artifact_stem(args.model, args.dataset, seed, args.n_balls,
+                             num_timesteps=args.num_timesteps)
         save_params(out_dir / f"{stem}.ckpt", p_i)
         if args.model == "egno":
             test_loss, avg_steps, artifact = exp.test_rollout(

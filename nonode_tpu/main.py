@@ -114,11 +114,12 @@ def main(args):
     if args.scale_lr:
         cfg = dataclasses.replace(cfg, lr=cfg.lr * args.scale_lr)
 
+    from nonode_tpu.analysis.registry import artifact_stem
     model_save_path = (args.outf / args.exp_name /
-                       (f"{args.model.upper()}_{args.dataset}_seed={seed}"
-                        f"_n_part={args.n_balls}_n_inputs={args.num_inputs}"
-                        f"_dT_{args.dT}_varDT={args.varDT}"
-                        f"_num_timesteps={args.num_timesteps}.ckpt"))
+                       (artifact_stem(args.model, args.dataset, seed,
+                                      args.n_balls, args.num_inputs, args.dT,
+                                      args.varDT, args.num_timesteps)
+                        + ".ckpt"))
     model_save_path.parent.mkdir(parents=True, exist_ok=True)
     print(f"Model saved to {model_save_path}")
     early_stopping = EarlyStopping(patience=15, verbose=True,
@@ -259,6 +260,8 @@ def main(args):
                 params, opt_state, train_loss_dev = run_train_epoch(
                     params, opt_state, ds_train, train=True)
                 pending.append((epoch, train_loss_dev))
+                # gate matches the reference exactly (main.py:156), incl.
+                # its `epoch > 0` quirk: a 1-epoch run never evaluates
                 if (epoch % args.test_interval == 0
                         or epoch == args.epochs - 1) and epoch > 0:
                     flush_train_losses()

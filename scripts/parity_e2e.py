@@ -33,11 +33,14 @@ sys.path.insert(0, str(REPO))
 
 
 # Adjudications of systematic deviations flagged by the two-sided verdict.
-# Keyed by (dataset, model). Filled once a deviation is root-caused (or
-# pinned with a minimal repro); a flagged deviation with no entry here keeps
-# the overall verdict at "DIVERGENCE — OPEN".
-ROOT_CAUSES: dict[tuple[str, str], str] = {
-    ("charged", "egno"):
+# Keyed by (dataset, model). Each entry is BOUND to the exact config it
+# examined ("n_balls") and the exact check set it explains ("checks"): a
+# future regeneration that fails a DIFFERENT check, or runs at a different
+# config, stays DIVERGENCE-OPEN instead of inheriting a stale adjudication.
+# Filled once a deviation is root-caused (or pinned with a minimal repro).
+ROOT_CAUSES: dict[tuple[str, str], dict] = {
+    ("charged", "egno"): {
+        "checks": frozenset({"one_sided"}), "n_balls": 5, "cause":
         "the `one_sided` drift (group-mean per-step ratio geomean 0.65, all "
         "16 steps < 1) is an OUTLIER ARTIFACT, not a mechanism: reference "
         "seed 1 converges to a stuck plateau (best val 0.470 = 10x the "
@@ -53,10 +56,14 @@ ROOT_CAUSES: dict[tuple[str, str], str] = {
         "stream; nonode_tpu at the matched config shows no such mode in "
         "the sampled seeds. Per-seed evidence: "
         "results/parity_e2e_charged/seed_analysis.json "
-        "(scripts/parity_seed_analysis.py).",
-    ("gravity", "egno"):
+        "(scripts/parity_seed_analysis.py)."},
+    ("gravity", "egno"): {
+        "checks": frozenset({"band", "tail"}), "n_balls": 5, "cause":
         "the `tail` violation (group-mean per-step ratio spiking 3-33x at "
-        "steps 11-16) is SEED-SAMPLING NOISE of a failure mode the two "
+        "steps 11-16) — and the `band` violation it induces (the 16-step "
+        "geomean 2.21 is entirely tail-driven: steps 1-10 have geomean "
+        "ratio 1.00, range 0.96-1.06, inside every band) — is "
+        "SEED-SAMPLING NOISE of a failure mode the two "
         "frameworks SHARE, not a mechanism difference. Mechanics: the "
         "weight-transplant harness (scripts/rollout_transplant.py) runs "
         "reference-trained weights through the nonode rollout and "
@@ -81,7 +88,7 @@ ROOT_CAUSES: dict[tuple[str, str], str] = {
         "(steps 1-10 at 0.85-1.03) and 9/10 ref seeds lie inside the jax "
         "min-max band at >=81% of steps. Per-seed evidence: "
         "results/parity_e2e_gravity/seed_analysis.json "
-        "(scripts/parity_seed_analysis.py, 10 seeds/side).",
+        "(scripts/parity_seed_analysis.py, 10 seeds/side)."},
 }
 
 
@@ -97,8 +104,8 @@ def seeds_for(cfg, model, side):
 
 
 def stem(model, seed, cfg):
-    return (f"{model.upper()}_{cfg.dataset}_seed={seed}_n_part={cfg.n_balls}"
-            f"_n_inputs=1_dT_1_varDT=False_num_timesteps=10")
+    from nonode_tpu.analysis.registry import artifact_stem
+    return artifact_stem(model, cfg.dataset, seed, cfg.n_balls)
 
 
 def common_argv(cfg, seed, outf):
@@ -330,7 +337,11 @@ def write_report(cfg, groups, fig_paths, wallclocks):
         }
         ok = all(checks.values())
         failed = [c for c, v in checks.items() if not v]
-        cause = ROOT_CAUSES.get((cfg.dataset, model))
+        entry = ROOT_CAUSES.get((cfg.dataset, model))
+        cause = None
+        if entry is not None and set(failed) <= entry["checks"] \
+                and cfg.n_balls == entry["n_balls"]:
+            cause = entry["cause"]
         if ok:
             verdict = "PARITY"
         elif cause is not None:

@@ -25,8 +25,8 @@ sys.path.insert(0, str(REPO))
 
 
 def stem(model, seed, dataset, n_balls):
-    return (f"{model.upper()}_{dataset}_seed={seed}_n_part={n_balls}"
-            f"_n_inputs=1_dT_1_varDT=False_num_timesteps=10")
+    from nonode_tpu.analysis.registry import artifact_stem
+    return artifact_stem(model, dataset, seed, n_balls)
 
 
 def seed_row(workdir, side, model, seed, dataset, n_balls):

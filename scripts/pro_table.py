@@ -18,9 +18,9 @@ import numpy as np
 
 
 def stem(c):
-    return (f"{c['model'].upper()}_{c['dataset']}_seed={c['seed']}"
-            f"_n_part={c['n_balls']}_n_inputs={c['num_inputs']}"
-            f"_dT_1_varDT={c['varDT']}_num_timesteps=10")
+    from nonode_tpu.analysis.registry import artifact_stem
+    return artifact_stem(c["model"], c["dataset"], c["seed"], c["n_balls"],
+                         c["num_inputs"], varDT=c["varDT"])
 
 
 import sys
@@ -42,17 +42,17 @@ def main():
     for r in recs:
         c = r["config"]
         art = args.outf / c.get("exp_name", "_exp_new") / (stem(c) + "_results.npz")
-        ff = tlf = h16 = h16f = ff16 = float("nan")
+        ff = tlf = h16 = ff16 = float("nan")
         if art.exists():
             d = np.load(art, allow_pickle=True)
             ff = float(d["finite_fraction"])
             tlf = float(d["test_loss_finite"])
-            h16, h16f, ff16 = short_horizon_loss(d)
+            h16, _, ff16 = short_horizon_loss(d)
         key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
                bool(c["varDT"]))
         groups[key].append(
             {"val": r["best_val_loss"], "test": r["test_loss"],
-             "ff": ff, "tlf": tlf, "h16": h16, "h16f": h16f, "ff16": ff16})
+             "ff": ff, "tlf": tlf, "h16": h16, "ff16": ff16})
 
     print("| model | dataset | N | inputs | varDT | best val (mean±std) | "
           "finite frac | loss (finite, median) | loss@16 (median) | "

@@ -26,9 +26,9 @@ from nonode_tpu.analysis.results import short_horizon_loss  # noqa: E402
 
 
 def stem(c):
-    return (f"{c['model'].upper()}_{c['dataset']}_seed={c['seed']}"
-            f"_n_part={c['n_balls']}_n_inputs={c['num_inputs']}"
-            f"_dT_1_varDT={c['varDT']}_num_timesteps=10")
+    from nonode_tpu.analysis.registry import artifact_stem
+    return artifact_stem(c["model"], c["dataset"], c["seed"], c["n_balls"],
+                         c["num_inputs"], varDT=c["varDT"])
 
 
 def load(outf):

@@ -41,8 +41,8 @@ sys.path.insert(0, str(REPO))
 
 
 def stem(seed, dataset, n_balls):
-    return (f"EGNO_{dataset}_seed={seed}_n_part={n_balls}"
-            f"_n_inputs=1_dT_1_varDT=False_num_timesteps=10")
+    from nonode_tpu.analysis.registry import artifact_stem
+    return artifact_stem("egno", dataset, seed, n_balls)
 
 
 def per_step_mse(art):
@@ -73,9 +73,13 @@ def direction_a(cfg_args, exp):
     from nonode_tpu.compat.torch_port import egno_params_from_state_dict
     from nonode_tpu.data.nbody import NBodyDataset
 
+    # max_samples must match the anchor's --max_samples (the ref artifact
+    # covers only that many test samples; a wider jax split would compare
+    # different sample sets)
     ds_test = NBodyDataset(
         partition="test", dataset=cfg_args.dataset, n_balls=cfg_args.n_balls,
         num_timesteps=10, traj_len=cfg_args.traj_len,
+        max_samples=cfg_args.max_samples,
         data_dir=cfg_args.workdir / "data")
     out = {}
     for seed in cfg_args.seeds:
@@ -119,14 +123,19 @@ def direction_b(cfg_args, exp):
         sd = {k: torch.tensor(v)
               for k, v in egno_state_dict_from_params(params, 4).items()}
         (scratch / "0exp_new").mkdir(parents=True, exist_ok=True)
-        torch.save(sd, scratch / "0exp_new" / f"{s}.pth")
         res_pt = scratch / "0exp_new" / f"{s}_results.pt"
-        if not res_pt.exists():
+        ckpt = cfg_args.workdir / "jax" / "0exp_new" / f"{s}.ckpt"
+        # cache only against the CURRENT jax checkpoint: a retrained seed
+        # (newer .ckpt) invalidates the stored reference rollout
+        if not res_pt.exists() \
+                or res_pt.stat().st_mtime < ckpt.stat().st_mtime:
+            res_pt.unlink(missing_ok=True)
+            torch.save(sd, scratch / "0exp_new" / f"{s}.pth")
             run_reference([
                 "--model", "egno", "--dataset", cfg_args.dataset,
                 "--data_dir", str(cfg_args.workdir / "data"),
                 "--epochs", "0", "--batch_size", str(cfg_args.batch_size),
-                "--max_samples", "500",
+                "--max_samples", str(cfg_args.max_samples),
                 "--traj_len", str(cfg_args.traj_len), "--seed", str(seed),
                 "--outf", str(scratch)])
         mse_transplant = per_step_mse(load_artifact(res_pt))
@@ -175,17 +184,25 @@ def main():
     ap.add_argument("--n_balls", type=int, default=5)
     ap.add_argument("--traj_len", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("--max_samples", type=int, default=500,
+                    help="must match the parity anchor's --max_samples")
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3, 4, 5])
     ap.add_argument("--skip_a", action="store_true")
     ap.add_argument("--skip_b", action="store_true")
     args = ap.parse_args()
 
     exp, _ = build_exp()
-    a = {} if args.skip_a else direction_a(args, exp)
-    b = {} if args.skip_b else direction_b(args, exp)
+    # a skipped direction keeps its previously stored results instead of
+    # wiping them from transplant.json
+    prev = {}
+    prev_path = args.workdir / "transplant.json"
+    if prev_path.exists() and (args.skip_a or args.skip_b):
+        prev = json.loads(prev_path.read_text())
+    a = prev.get("A", {}) if args.skip_a else direction_a(args, exp)
+    b = prev.get("B", {}) if args.skip_b else direction_b(args, exp)
     s = summarize(a, b)
     out = {"A": a, "B": b, "summary": s}
-    with open(args.workdir / "transplant.json", "w") as f:
+    with open(prev_path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {args.workdir / 'transplant.json'}")
 

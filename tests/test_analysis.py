@@ -155,6 +155,32 @@ class TestRegistry:
         assert np.isclose(by_src["torch"]["test_loss_mean"], 0.5)
         assert (tmp_path / "out" / "mse_curves.png").exists()
 
+    def test_legend_labels_with_underscored_values(self, tmp_path, monkeypatch):
+        """Legend relabeling must not truncate field values at '_': two
+        groups differing only in dataset 'charged_a' vs 'charged_b' get
+        distinct full-value labels (regression: a key re-parse with [^_]+
+        collapsed both to 'dataset=charged' and dropped one curve)."""
+        import nonode_tpu.analysis.results as results_mod
+        from nonode_tpu.analysis.registry import build_report
+
+        rng = np.random.RandomState(0)
+        d = tmp_path / "exp"
+        d.mkdir()
+        for ds in ("charged_a", "charged_b"):
+            t = rng.randn(8, 10, 5, 3)
+            np.savez(d / (f"EGNO_{ds}_seed=1_n_part=5_n_inputs=1"
+                          f"_dT_1_varDT=False_num_timesteps=10_results.npz"),
+                     targets=t, preds=t[:, :4] + 0.1,
+                     energy_conservation=np.ones((8, 4, 1)), test_loss=0.25)
+        captured = {}
+
+        def fake_plot(curves, out_path, **kw):
+            captured.update(curves)
+
+        monkeypatch.setattr(results_mod, "plot_multiple_curves", fake_plot)
+        build_report(tmp_path, tmp_path / "out")
+        assert set(captured) == {"dataset=charged_a", "dataset=charged_b"}
+
     def test_exclude_transplant_dirs(self, tmp_path):
         """Artifacts under transplant* dirs (cross-framework weight-
         transplant rollouts, scripts/rollout_transplant.py) carry native-run
@@ -211,6 +237,18 @@ class TestSweep:
         key = json.dumps({"model": "egno"}, sort_keys=True)
         assert np.isclose(s[key]["mean"], 0.2)
         assert s[key]["n_seeds"] == 2
+
+
+class TestArtifactStem:
+    def test_round_trips_fname_re(self):
+        """artifact_stem is the single definition of the filename contract;
+        it must always parse back through FNAME_RE (scan_results)."""
+        from nonode_tpu.analysis.registry import FNAME_RE, artifact_stem
+        for kw in ({}, {"num_inputs": 3, "varDT": True},
+                   {"dT": 2, "num_timesteps": 5}):
+            s = artifact_stem("egno", "charged", 7, 20, **kw)
+            m = FNAME_RE.match(s + "_results.npz")
+            assert m and m.group("seed") == "7" and m.group("n_balls") == "20"
 
 
 class TestProtocolCompare:
