@@ -402,6 +402,18 @@ def write_report(cfg, groups, fig_paths, wallclocks):
                 f"| **{model} speedup (sum ref / sum jax, "
                 f"{len(pairs)} timed seeds)** | "
                 f"**{sum(r for r, _ in pairs) / sum(j for _, j in pairs):.2f}x** |")
+    lines += [
+        "",
+        "These ratios measure the ANCHOR runs, not framework throughput: "
+        "the anchor config is deliberately tiny (5 train steps/epoch at "
+        "batch 100 — per-epoch chip compute is sub-millisecond), seeds "
+        "early-stop at different epoch counts on each side, and the runs "
+        "share a single host CPU core with concurrent jobs, so wall-clock "
+        "here is dominated by host dispatch/tunnel sync + torch-side "
+        "contention. The throughput comparison at the canonical config is "
+        "bench.py / RESULTS.md (sync-closed: 322x the measured torch-CPU "
+        "reference at batch 256).",
+    ]
     # keep the original charged report path; per-dataset reports otherwise
     name = ("PARITY_E2E.md" if cfg.dataset == "charged"
             else f"PARITY_E2E_{cfg.dataset}.md")
