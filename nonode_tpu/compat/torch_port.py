@@ -107,8 +107,9 @@ def segno_params_from_state_dict(sd):
             "coord_mlp_l2": _linear(sd, "module.coord_mlp.2"),
         },
     }
-    if "module.coords_range" in sd:
-        p["gcl"]["coords_range"] = _t(sd["module.coords_range"])
+    # module.coords_range never appears in a real reference state dict: the
+    # nn.Parameter(torch.ones(1))*3 product (gcl.py:59) is an unregistered
+    # constant tensor, matched by SEGNOGCL.COORDS_RANGE.
     if "enc_attn_net.attn_mlp.0.weight" in sd:
         p["attn"] = {"l1": _linear(sd, "enc_attn_net.attn_mlp.0"),
                      "l2": _linear(sd, "enc_attn_net.attn_mlp.2")}

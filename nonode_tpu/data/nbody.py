@@ -147,7 +147,11 @@ class NBodyDataset:
         # push windows starting before frame 0 forward (dataset_simple.py:147-150)
         shift = np.maximum(-frames.min(axis=1, keepdims=True), 0)
         frames = frames + shift
-        # model-relative input timesteps = frames - frames.max(), matching the
-        # driver's in_indices -= in_indices.max() (main_simulation_simple_no.py:209)
+        # PER-SAMPLE relative timesteps (each sample anchored at its own
+        # last input frame). The reference instead subtracts the BATCH-wide
+        # in_indices.max() (main_simulation_simple_no.py:208-209); the
+        # batch-dependent correction last_i - max_batch(last) is applied
+        # inside EGNOExperiment._batch at gather time, where the batch
+        # membership is known.
         t_in_rel = (frames - frames[:, -1:]).astype(np.float32)
         return frames, t_in_rel

@@ -126,7 +126,10 @@ class RFVel:
             diff = pairwise_diff(x)
             radial = jnp.sqrt((diff * diff).sum(-1, keepdims=True))
             e_in = jnp.concatenate([radial, edge_attr], axis=-1)
-            e = jax.nn.leaky_relu(self.phi_l1(lp["phi_l1"], e_in), 0.2)
+            # RF_vel passes act_fn=nn.SiLU() into GCL_rf_vel (basic.py:289,
+            # 295), overriding GCL_rf_vel's LeakyReLU default — phi and the
+            # velocity gate share the same SiLU
+            e = jax.nn.silu(self.phi_l1(lp["phi_l1"], e_in))
             e = jnp.tanh(self.phi_l2(lp["phi_l2"], e))
             m = diff * e
             x = x + masked_mean_j(m, mask)

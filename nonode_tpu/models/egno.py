@@ -143,8 +143,11 @@ class EGNO:
             embs = [jnp.transpose(emb_out, (1, 0, 2))]                  # [T, B, Ht]
 
         n = x.shape[2]
+        # embeddings adopt the node-feature dtype so the opt-in bf16 compute
+        # mode doesn't promote h back to fp32 through the concat (the fp32
+        # parity mode is unaffected: embeddings are fp32 already)
         embs = [jnp.broadcast_to(e[:, :, None, :], (t, b, n, e.shape[-1]))
-                for e in embs]
+                .astype(h0.dtype) for e in embs]
         h = jnp.concatenate([h0, *embs], axis=-1)    # [T, B, N, F + k*Ht]
         h = self.embedding(p["embedding"], h)        # [T, B, N, H]
 

@@ -275,21 +275,23 @@ class SEGNOGCL:
         # reference: xavier_uniform_(gain=0.001) on the final coord layer
         # (gcl.py:50-51); bias keeps the default Linear init.
         l2["w"] = xavier_uniform_init(ks[4], (1, self.hidden_nf), gain=0.001)
-        p = {
+        return {
             "edge_mlp": self.edge_mlp.init(ks[0]),
             "node_mlp": self.node_mlp.init(ks[1]),
             "coord_mlp_l1": self.coord_mlp_l1.init(ks[2]),
             "coord_mlp_l2": l2,
         }
-        if self.tanh:
-            p["coords_range"] = jnp.ones((1,)) * 3.0
-        return p
+
+    # NOT a parameter: the reference's `nn.Parameter(torch.ones(1))*3`
+    # (gcl.py:59) is a plain product — the result is an unregistered
+    # constant tensor, never in parameters()/state_dict and never trained.
+    COORDS_RANGE = 3.0
 
     def _coord_mlp(self, p: Params, e):
         y = self.act(self.coord_mlp_l1(p["coord_mlp_l1"], e))
         y = self.coord_mlp_l2(p["coord_mlp_l2"], y)
         if self.tanh:
-            y = jnp.tanh(y) * p["coords_range"]
+            y = jnp.tanh(y) * self.COORDS_RANGE
         return y
 
     def _use_fused(self, x, edge_attr, edge_mask) -> bool:

@@ -169,6 +169,20 @@ class EGNOExperiment:
         loc_out = _gather_window(loc_all, idx, idx_arrays["out_frames"][idx])
         t_in = idx_arrays["t_in"][idx]
         t_out = idx_arrays["t_out"][idx]
+        # BATCH-GLOBAL time normalization: the reference subtracts the
+        # batch-wide in_indices.max() from both index tensors
+        # (main_simulation_simple_no.py:208-209), not a per-sample anchor.
+        # The stored t_in/t_out are per-sample (relative to each sample's
+        # last input frame); the correction term last_i - max_batch(last)
+        # restores the reference values. It is identically zero whenever
+        # every sample's last input frame coincides (single-input, and all
+        # charged windows, where frames never shift) — only gravity
+        # multi-input varDT windows (per-sample push-forward shifts,
+        # dataset_simple.py:147-150) are affected.
+        corr = (frames_in[:, -1:] - frames_in[:, -1:].max()) \
+            .astype(jnp.float32)                      # [B, 1] <= 0
+        t_in = t_in + corr
+        t_out = t_out + corr
         return self._constrain(
             (loc_in, vel_in, charges, w, loc_out, t_in, t_out))
 
@@ -438,7 +452,6 @@ class SEGNOExperiment:
 
     @functools.partial(jax.jit, static_argnums=(0, 5, 6), donate_argnums=(1, 2))
     def train_epoch(self, params, opt_state, ds_arrays, perm, frames, in_steps):
-        loc_all, vel_all, charges_all, w_all = ds_arrays
         end = (frames[-1] if in_steps else frames[0]) + self.num_timesteps
 
         def body(carry, idx):
@@ -611,7 +624,16 @@ class SEGNOExperiment:
             # (train_nbody.py:97-116 runs inside the batch loop)
             steps = self.sample_steps(ds, rng, varDT)
             frames, in_steps, end = self.input_frames(ds, steps)
-            start = int(frames[-1]) if in_steps else int(frames[0])
+            # target frames anchor at the reference's post-shift `start`
+            # (train_nbody.py:104-107,136-137): the dataset start when the
+            # window fits before it (charged, start=30 — equals frames[-1]),
+            # else the pushed-forward FIRST input frame (gravity multi-input,
+            # start=0). The shifted case reproduces the reference's own
+            # off-by-sum(steps) target anchoring (predictions physically
+            # leave from frames[-1], not frames[0]) — kept for metric parity.
+            shifted = in_steps and (frames[-1] - frames[0]) > ds.start
+            start = int(frames[0]) if shifted else \
+                (int(frames[-1]) if in_steps else int(frames[0]))
             pred_indices = start + np.cumsum([t] * tl)
             if in_steps not in roll_cache:
                 roll_cache[in_steps] = jax.jit(

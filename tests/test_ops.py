@@ -112,6 +112,20 @@ class TestSEGNOGCL:
         np.testing.assert_allclose(v2, v1 @ r, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(h2, h1, rtol=1e-4, atol=1e-5)
 
+    def test_coords_range_is_constant_not_param(self):
+        """The reference's `nn.Parameter(torch.ones(1))*3` (gcl.py:59) is a
+        plain product — an UNREGISTERED constant, never in parameters() or
+        state_dict, never trained. It must not appear in the params pytree
+        (or adam/weight-decay would update it) and the tanh path scales by
+        the fixed 3.0."""
+        n, hd = 4, 8
+        gcl = SEGNOGCL(hidden_nf=hd, in_edge_nf=0, tanh=True)
+        p = gcl.init(jax.random.PRNGKey(0))
+        assert "coords_range" not in p
+        e = jnp.asarray(np.random.RandomState(0).randn(n, hd), jnp.float32)
+        y = gcl._coord_mlp(p, e)
+        assert float(jnp.abs(y).max()) <= 3.0 + 1e-6
+
     def test_second_order_update(self):
         """v' = v + agg/T and x' = x + v'/T: with zero force MLP output the
         trajectory is straight-line drift."""

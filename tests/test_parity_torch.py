@@ -485,3 +485,53 @@ class TestSEGNOParity:
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(vj).reshape(-1, 3), vt.numpy(),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestRFVelParity:
+    def test_forward(self, ref):
+        """RFVel vs reference RF_vel (basic.py:288-339) with ported weights.
+        RF_vel's default act_fn=nn.SiLU() overrides GCL_rf_vel's LeakyReLU
+        default and is used in BOTH phi and coord_mlp_vel."""
+        from EGNO.model.basic import RF_vel
+
+        from nonode_tpu.models.baselines import RFVel
+
+        torch = ref.torch
+        torch.manual_seed(3)
+        b, n, nf = 2, 4, 16
+        tm = RF_vel(hidden_nf=nf, edge_attr_nf=1, n_layers=2)
+
+        layers = []
+        for i in range(2):
+            gcl = tm._modules[f"gcl_{i}"]
+            g = lambda t: t.detach().numpy()
+            layers.append({
+                "phi_l1": {"w": g(gcl.phi[0].weight), "b": g(gcl.phi[0].bias)},
+                "phi_l2": {"w": g(gcl.phi[2].weight)},
+                "vel_mlp": {
+                    "l1": {"w": g(gcl.coord_mlp_vel[0].weight),
+                           "b": g(gcl.coord_mlp_vel[0].bias)},
+                    "l2": {"w": g(gcl.coord_mlp_vel[2].weight),
+                           "b": g(gcl.coord_mlp_vel[2].bias)},
+                },
+            })
+        p = {"layers": [jax.tree.map(jnp.asarray, lp) for lp in layers]}
+        model = RFVel(hidden_nf=nf, edge_attr_nf=1, n_layers=2)
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(b, n, 3).astype(np.float32)
+        vel = rng.randn(b, n, 3).astype(np.float32)
+        vel_norm = np.linalg.norm(vel, axis=-1, keepdims=True).astype(np.float32)
+        ea_dense = rng.randn(b, n, n, 1).astype(np.float32)
+
+        rows, cols = sparse_edges(b, n)
+        with torch.no_grad():
+            xt = tm(torch.tensor(vel_norm.reshape(-1, 1)),
+                    torch.tensor(x.reshape(-1, 3)),
+                    [torch.tensor(rows), torch.tensor(cols)],
+                    torch.tensor(vel.reshape(-1, 3)),
+                    torch.tensor(dense_to_sparse_attr(ea_dense)))
+        xj = model(p, jnp.asarray(vel_norm), jnp.asarray(x), jnp.asarray(vel),
+                   jnp.asarray(ea_dense))
+        np.testing.assert_allclose(np.asarray(xj).reshape(-1, 3), xt.numpy(),
+                                   rtol=2e-5, atol=2e-5)

@@ -55,6 +55,27 @@ class TestEGNOTraining:
             last = loss
         assert last < first * 0.7, f"no learning: {first} -> {last}"
 
+    def test_bf16_compute_mode_traces(self, charged_ds):
+        """The opt-in bf16 speed mode must trace and step: time embeddings
+        adopt the node-feature dtype (egno.py) so the concat doesn't promote
+        h back to fp32 against bf16 edge features (regression: mixed-dtype
+        assert in first_edge_linear fired at trace time)."""
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=5)
+        model = EGNO(n_layers=2, hidden_nf=16, num_timesteps=5,
+                     time_emb_dim=8, num_modes=2)
+        exp = EGNOExperiment(model, lr=5e-3, weight_decay=1e-8,
+                             compute_dtype=jnp.bfloat16)
+        params, opt_state = exp.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        idx_arrays = {k: jnp.asarray(v)
+                      for k, v in exp.epoch_index_arrays(ds, rng).items()}
+        perm = make_perm(rng, len(ds), 8)
+        params, opt_state, losses, _ = exp.train_epoch(
+            params, opt_state, arrays, idx_arrays, perm)
+        assert np.isfinite(np.asarray(losses)).all()
+
     def test_rollout_shapes(self, charged_ds):
         ds = NBodyDataset(data_dir=charged_ds, partition="train",
                           num_timesteps=4, traj_len=3)
@@ -144,6 +165,75 @@ class TestSEGNOTraining:
         assert frames == (27, 30)
         assert in_steps == (-3, 0)
         assert end == 36
+
+
+@pytest.fixture(scope="module")
+def gravity_ds(tmp_path_factory):
+    """Tiny gravity-layout dataset: start=0, so multi-input windows are
+    pushed FORWARD (dataset_simple.py:147-150) — the configs where the
+    reference's batch-global time normalization and start-anchored rollout
+    targets differ from per-sample anchoring."""
+    d = tmp_path_factory.mktemp("gravity_data")
+    rng = np.random.RandomState(7)
+    loc = rng.randn(12, 49, 5, 3).astype(np.float32)
+    vel = rng.randn(12, 49, 5, 3).astype(np.float32)
+    masses = rng.uniform(0.5, 2.0, (12, 5, 1)).astype(np.float32)
+    np.save(d / "loc_train_gravity5_initvel1small.npy", loc)
+    np.save(d / "vel_train_gravity5_initvel1small.npy", vel)
+    np.save(d / "edges_train_gravity5_initvel1small.npy",
+            np.zeros((12, 5, 5), np.float32))
+    np.save(d / "charges_train_gravity5_initvel1small.npy", masses)
+    return d
+
+
+class TestGravityShiftedWindowParity:
+    """Reference semantics for shifted (start=0) multi-input windows."""
+
+    def test_segno_rollout_targets_anchor_at_reference_start(self, gravity_ds):
+        """Rollout target frames = post-shift `start` + cumsum(T)
+        (train_nbody.py:104-107,136-137): for gravity multi-input that is
+        the FIRST input frame (0), reproducing the reference's own
+        off-by-sum(steps) anchoring — not the physically-aligned last
+        input frame."""
+        ds = NBodyDataset(data_dir=gravity_ds, partition="train",
+                          dataset="gravity", num_timesteps=6, num_inputs=2,
+                          traj_len=2)
+        exp = SEGNOExperiment(SEGNO(hidden_nf=8, multiple_agg="attn"),
+                              num_timesteps=6)
+        params, _ = exp.init(jax.random.PRNGKey(0))
+        steps = exp.sample_steps(ds, np.random.RandomState(0), False)
+        frames, in_steps, _ = exp.input_frames(ds, steps)
+        assert frames == (0, 3) and in_steps == (0, 3)  # shifted window
+        _, _, art = exp.test_rollout(params, ds, len(ds),
+                                     np.random.RandomState(0), 2, False)
+        # reference anchor: start=0 -> targets at frames 6, 12 (NOT 9, 15)
+        expected = np.asarray(ds.loc)[:, [6, 12]]
+        np.testing.assert_allclose(art["targets"], expected, rtol=0, atol=0)
+
+    def test_egno_batch_global_time_normalization(self, gravity_ds):
+        """t_in/t_out subtract the BATCH-wide max input frame
+        (main_simulation_simple_no.py:208-209), not each sample's own last
+        frame: samples with a smaller varDT push-forward shift get strictly
+        negative t_in[-1]."""
+        ds = NBodyDataset(data_dir=gravity_ds, partition="train",
+                          dataset="gravity", num_timesteps=6, num_inputs=2,
+                          varDT=True)
+        model = EGNO(n_layers=1, hidden_nf=8, num_timesteps=6,
+                     time_emb_dim=4, num_modes=2, num_inputs=2)
+        exp = EGNOExperiment(model, lr=1e-3, weight_decay=0.0)
+        rng = np.random.RandomState(0)
+        idx_arrays = {k: jnp.asarray(v)
+                      for k, v in exp.epoch_index_arrays(ds, rng).items()}
+        frames_in = np.asarray(idx_arrays["frames_in"])
+        assert len(set(frames_in[:, -1])) > 1, "fixture: shifts must differ"
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        idx = jnp.arange(len(ds))
+        batch = exp._batch(arrays, idx_arrays, idx)
+        t_in, t_out = np.asarray(batch[5]), np.asarray(batch[6])
+        m = frames_in.max()
+        np.testing.assert_allclose(t_in, frames_in - m, atol=0)
+        out_frames = np.asarray(idx_arrays["out_frames"])
+        np.testing.assert_allclose(t_out, out_frames - m, atol=0)
 
 
 class TestSEGNODynamicSampling:
