@@ -50,10 +50,13 @@ def load_reference_results(path):
             return v.detach().cpu().numpy()
         return v
 
-    # stub Data / plain dict / namespace-ish
+    # stub Data / plain dict / namespace-ish / real PyG (BaseStorage keeps
+    # its keys in _store._mapping, not _store.__dict__)
+    store = getattr(obj, "_store", None)
     for d in (obj if isinstance(obj, dict) else None,
               getattr(obj, "__dict__", None),
-              getattr(getattr(obj, "_store", None), "__dict__", None)):
+              getattr(store, "__dict__", None),
+              getattr(store, "_mapping", None)):
         if d and "targets" in d and "preds" in d:
             out = {"targets": to_np(d["targets"]), "preds": to_np(d["preds"])}
             # EGNO run_epoch emits 'energy_conservation' + 'test_loss'
@@ -144,10 +147,20 @@ def mean_std_over_seeds(per_seed_curves):
 
 def avg_loss_until_corr(mean_losses, mean_corr, threshold=0.99):
     """Average loss over the horizon until mean correlation drops below the
-    threshold; returns (index, avg_loss)."""
+    threshold; returns (index, avg_loss).
+
+    When correlation never drops, the reference slices with index=-1 BEFORE
+    resetting it to the horizon length (plotting.py:902-911), so the
+    average excludes the LAST timestep while the returned index is the full
+    horizon — replicated here."""
     below = np.where(mean_corr < threshold)[0]
-    index = int(below[0]) if len(below) else len(mean_losses)
-    avg = float(np.mean(mean_losses[:index])) if index > 0 else float("nan")
+    if len(below):
+        index = int(below[0])
+        avg = float(np.mean(mean_losses[:index])) if index > 0 \
+            else float("nan")
+    else:
+        index = len(mean_losses)
+        avg = float(np.mean(mean_losses[:-1])) if index > 1 else float("nan")
     return index, avg
 
 

@@ -116,7 +116,13 @@ class Skeleton:
                 if name == "root" or name not in self.index:
                     continue
                 j = self.index[name]
-                rot[ti, j, self.chan_axes[j]] = vals
+                # consume values front-to-back, one per non-(0,0)-limit
+                # axis, ignoring any extras — the reference's set_motion
+                # walks limits and reads motion[name][idx] sequentially
+                # (amc_parser.py:51-57), so surplus AMC channels are
+                # silently dropped, never broadcast
+                axes = self.chan_axes[j]
+                rot[ti, j, axes] = vals[:len(axes)]
         return trans, np.deg2rad(rot)
 
     def fk(self, frames: list[dict]) -> np.ndarray:
@@ -237,6 +243,14 @@ def parse_amc(path) -> list[dict]:
 
 def trajectories_from_amc(asf_path, amc_paths) -> tuple[list, list]:
     """Preprocess ASF+AMC files into (edges, [X_trial [T, N, 3]]) — the
-    motion.pkl format (EGNO/motion/preprocess.py:12-37)."""
+    motion.pkl format (EGNO/motion/preprocess.py:12-37), including the
+    special case that drops the first 6 frames of any trial whose AMC
+    filename stem ends in ``_10`` (preprocess.py:22-24)."""
     skel = Skeleton(parse_asf(asf_path))
-    return skel.edges(), [skel.fk(parse_amc(amc)) for amc in amc_paths]
+    trials = []
+    for amc in amc_paths:
+        motions = parse_amc(amc)
+        if str(amc).split(".")[-2].split("_")[-1] == "10":
+            motions = motions[6:]
+        trials.append(skel.fk(motions))
+    return skel.edges(), trials

@@ -102,8 +102,8 @@ class MotionDataset:
             st = np.asarray(mapping[i][:each_len])
             x0.append(x[i][st])
             v0.append(v[i][st])
-            xt.append(x[i][st + self.delta_frame])
-            vt.append(v[i][st + self.delta_frame])
+            xt.append(self._target(x[i], st))
+            vt.append(self._target(v[i], st))
         self.x_0 = jnp.asarray(np.concatenate(x0), jnp.float32)
         self.v_0 = jnp.asarray(np.concatenate(v0), jnp.float32)
         self.x_t = jnp.asarray(np.concatenate(xt), jnp.float32)
@@ -113,6 +113,12 @@ class MotionDataset:
         attr, mask = build_edge_matrices(edges, self.n_node)
         self.edge_attr = jnp.asarray(attr)      # [N, N, 1] in {0, 1, 2}
         self.edge_mask = jnp.asarray(mask)      # [N, N]
+
+    def _target(self, trial, st):
+        """Target window for start frames ``st`` — the single frame at
+        +delta_frame; MotionDynamicsDataset overrides with the T-frame
+        decoder window."""
+        return trial[st + self.delta_frame]
 
     def __len__(self):
         return int(self.x_0.shape[0])
@@ -129,31 +135,7 @@ class MotionDynamicsDataset(MotionDataset):
 
     num_timesteps: int = 6
 
-    def __post_init__(self):
-        d = Path(self.data_dir)
-        edges, x, v = _load_case(d, self.case)
-        split = _load_split(d, self.case)
-        mapping = split[{"train": 0, "val": 1, "test": 2}[self.partition]]
-        each_len = self.max_samples // len(mapping)
+    def _target(self, trial, st):
         t = self.num_timesteps
-
-        x0, v0, xt, vt = [], [], [], []
-        for i in mapping:
-            st = np.asarray(mapping[i][:each_len])
-            x0.append(x[i][st])
-            v0.append(v[i][st])
-            xt.append(np.stack(
-                [x[i][st + self.delta_frame + ii - t]
-                 for ii in range(1, t + 1)], axis=1))       # [S, T, N, 3]
-            vt.append(np.stack(
-                [v[i][st + self.delta_frame + ii - t]
-                 for ii in range(1, t + 1)], axis=1))
-        self.x_0 = jnp.asarray(np.concatenate(x0), jnp.float32)
-        self.v_0 = jnp.asarray(np.concatenate(v0), jnp.float32)
-        self.x_t = jnp.asarray(np.concatenate(xt), jnp.float32)
-        self.v_t = jnp.asarray(np.concatenate(vt), jnp.float32)
-
-        self.n_node = x[0].shape[1]
-        attr, mask = build_edge_matrices(edges, self.n_node)
-        self.edge_attr = jnp.asarray(attr)
-        self.edge_mask = jnp.asarray(mask)
+        return np.stack([trial[st + self.delta_frame + ii - t]
+                         for ii in range(1, t + 1)], axis=1)  # [S, T, N, 3]

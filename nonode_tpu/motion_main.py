@@ -151,7 +151,10 @@ def main(args):
         perm = make_perm(rng, len(ds_train), args.batch_size)
         params, opt_state, tr = train_epoch(params, opt_state, perm)
         pending.append(tr)
-        if epoch % args.test_interval == 0 and epoch > 0:
+        # same gate as the nbody drivers (reference main.py:156), incl. the
+        # final-epoch eval so a last-interval improvement is checkpointed
+        if (epoch % args.test_interval == 0
+                or epoch == args.epochs - 1) and epoch > 0:
             flush_pending()
             vperm = make_perm(rng, len(ds_val), args.batch_size, shuffle=False)
             vl = float(eval_epoch(params, vperm, 0))

@@ -58,8 +58,15 @@ class FleetEarlyStopping:
         """val: [K] validation losses (entries for stopped seeds ignored).
         Returns the improved mask [K]."""
         # NB: ties count as improvement (reference EarlyStopping,
-        # EGNO/utils.py:263: counter only when score < best + delta)
-        improved = (val <= self.best_val - self.delta) & ~self.stopped
+        # EGNO/utils.py:263: counter only when score < best + delta).
+        # Negated-comparison form so NaN follows the reference too: a NaN
+        # val fails `score < best + delta` and lands in the improvement
+        # branch (best := NaN, checkpoint saved, counter reset) — and every
+        # later val compares False against the NaN best, i.e. also
+        # "improves". `val <= best - delta` would instead count NaNs toward
+        # patience and stop, diverging from sequential runs exactly in the
+        # blowup cases.
+        improved = ~(val > self.best_val - self.delta) & ~self.stopped
         self.best_val = np.where(improved, val, self.best_val)
         self.best_epoch = np.where(improved, epoch, self.best_epoch)
         self.counter = np.where(improved, 0,

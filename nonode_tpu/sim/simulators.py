@@ -37,6 +37,19 @@ def _pairwise(loc):
     return diff, r2
 
 
+def _obs_noise(key, noise_var, *arrays):
+    """Observation noise on the saved trajectories (synthetic_sim.py:144-145,
+    :293-295, :400-403: saved arrays += randn * noise_var). Python-level
+    gate: the noise_var=0 path draws nothing, keeping existing streams
+    bit-identical; the noise key is fold_in-derived so the init-state
+    stream is untouched either way."""
+    if not noise_var:
+        return arrays
+    ks = jax.random.split(jax.random.fold_in(key, 0x6E6F6973), len(arrays))
+    return tuple(a + noise_var * jax.random.normal(k, a.shape, a.dtype)
+                 for k, a in zip(ks, arrays))
+
+
 @dataclasses.dataclass(frozen=True)
 class ChargedSim:
     """Coulomb-interacting particles; leapfrog with per-component force clip."""
@@ -100,6 +113,7 @@ class ChargedSim:
             return (loc, vel), rec
 
         _, (locs, vels) = jax.lax.scan(block, (loc, vel), length=t_save)
+        locs, vels = _obs_noise(key, self.noise_var, locs, vels)
         return locs, vels, edges, charges
 
     def energy(self, loc, vel, edges):
@@ -168,6 +182,7 @@ class SpringSim:
             return (loc, vel), rec
 
         _, (locs, vels) = jax.lax.scan(block, (loc, vel), length=t_save)
+        locs, vels = _obs_noise(key, self.noise_var, locs, vels)
         return locs, vels, edges, None
 
     def energy(self, loc, vel, edges):
@@ -231,6 +246,8 @@ class GravitySim:
 
         _, (poss, vels, forces) = jax.lax.scan(block, (pos, vel, acc),
                                                length=t_save)
+        poss, vels, forces = _obs_noise(key, self.noise_var,
+                                        poss, vels, forces)
         return poss, vels, forces, mass
 
     def energy(self, pos, vel, mass):

@@ -65,6 +65,16 @@ class TestAnalysis:
         assert idx == 2
         assert avg == 1.5
 
+    def test_avg_loss_until_corr_never_drops(self):
+        """Correlation never below threshold: the reference's index=-1 slice
+        averages all but the LAST timestep while reporting the full horizon
+        (plotting.py:902-911)."""
+        losses = np.array([1.0, 2.0, 3.0, 4.0])
+        corr = np.full(4, 0.999)
+        idx, avg = avg_loss_until_corr(losses, corr, threshold=0.99)
+        assert idx == 4
+        assert avg == 2.0  # mean of [1,2,3], last step excluded
+
     def test_analyze_group(self, artifacts):
         out = analyze_group(artifacts)
         assert out["n_seeds"] == 3
@@ -293,3 +303,35 @@ class TestProtocolCompare:
         assert "-50%" in row                          # delta vs 300ep
         assert "950 [950-950]" in row                 # ref best_epoch spread
         assert "2/2 reference-protocol cells" in out  # unconverged tally
+
+
+class _FakeStorage:
+    """Mimics PyG BaseStorage: keys live in _mapping, not __dict__."""
+
+    def __init__(self, mapping):
+        self._mapping = mapping
+
+
+class _FakePyGData:
+    def __init__(self, mapping):
+        self._store = _FakeStorage(mapping)
+
+
+class TestRealPyGLayout:
+    def test_load_reference_results_reads_store_mapping(self, tmp_path):
+        """Real torch_geometric Data keeps attributes in _store._mapping;
+        the artifact scanner must find targets/preds there (regression:
+        only _store.__dict__ was scanned and real-PyG pickles raised)."""
+        import torch
+
+        from nonode_tpu.analysis.results import load_artifact
+        t = torch.randn(3, 4, 5, 3)
+        obj = _FakePyGData({"targets": t, "preds": t[:, :2] + 0.1,
+                            "energy_conservation": torch.ones(3, 2, 1),
+                            "test_loss": 0.5})
+        p = tmp_path / "fake_results.pt"
+        torch.save(obj, p)
+        art = load_artifact(p)
+        assert art["targets"].shape == (3, 4, 5, 3)
+        assert art["preds"].shape == (3, 2, 5, 3)
+        assert float(art["test_loss"]) == 0.5

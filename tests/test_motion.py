@@ -116,6 +116,41 @@ class TestParser:
         assert edges == [[1, 0], [2, 1]]
 
 
+class TestPreprocessQuirks:
+    def _frames(self, n):
+        body = "\n".join(
+            f"{i + 1}\nroot 0 0 0 0 0 0\nbone1 0 0 0\nbone2 0"
+            for i in range(n))
+        return f"#!Comment\n:FULLY-SPECIFIED\n:DEGREES\n{body}\n"
+
+    def test_special_case_10_drops_first_6_frames(self, tmp_path):
+        """Trials whose AMC stem ends in _10 lose their first 6 frames
+        (EGNO/motion/preprocess.py:22-24, 'is the special case!!!')."""
+        asf = tmp_path / "test.asf"
+        asf.write_text(ASF)
+        normal = tmp_path / "walk_09.amc"
+        special = tmp_path / "walk_10.amc"
+        normal.write_text(self._frames(8))
+        special.write_text(self._frames(8))
+        _, trials = trajectories_from_amc(asf, [normal, special])
+        assert trials[0].shape[0] == 8
+        assert trials[1].shape[0] == 2
+
+    def test_surplus_amc_channels_silently_dropped(self, tmp_path):
+        """A bone with more AMC values than non-(0,0)-limit dof axes: the
+        reference consumes values sequentially per axis and ignores extras
+        (amc_parser.py:51-57) — must not broadcast-error."""
+        asf = tmp_path / "test.asf"
+        asf.write_text(ASF)
+        a1 = tmp_path / "one.amc"
+        a2 = tmp_path / "two.amc"
+        a1.write_text(AMC)
+        a2.write_text(AMC.replace("bone2 0", "bone2 0 45"))
+        _, (x1,) = trajectories_from_amc(asf, [a1])
+        _, (x2,) = trajectories_from_amc(asf, [a2])
+        np.testing.assert_allclose(x2, x1, atol=0)
+
+
 class TestEdgeMatrices:
     def test_chain(self):
         attr, mask = build_edge_matrices([[1, 0], [2, 1]], 3)

@@ -98,11 +98,14 @@ class TestFleetEarlyStopping:
         from nonode_tpu.train.checkpoint import EarlyStopping
 
         rng = np.random.RandomState(0)
-        k, e, patience = 4, 40, 3
+        k, e, patience = 5, 40, 3
         vals = rng.rand(k, e).astype(np.float64)
         vals[1, 5:] = vals[1, 5]             # exact-tie plateau: never stops
         vals[2] = np.linspace(1.0, 0.1, e)   # monotone: never stops
         vals[3, 3:] = vals[3, 3] + 0.1       # stops at 3 + patience
+        vals[4, 10:] = np.nan                # blowup: NaN counts as
+        # improvement in the reference (score < best + delta is False for
+        # NaN) and the seed never stops — the fleet must reproduce that
 
         fes = FleetEarlyStopping(k, patience=patience)
         fleet_stop = np.full(k, -1)

@@ -148,3 +148,41 @@ class TestBatch:
                 keys[i], T=500, sample_freq=100)
             np.testing.assert_array_equal(np.asarray(pos_b[i]), np.asarray(pos_s))
             np.testing.assert_array_equal(np.asarray(mass_b[i]), np.asarray(mass_s))
+
+
+class TestObservationNoise:
+    def test_noise_var_applied_and_zero_path_unchanged(self):
+        """noise_var adds randn*noise_var observation noise to the SAVED
+        trajectories (synthetic_sim.py:293-295); noise_var=0 draws nothing
+        and stays bit-identical to the pre-noise stream."""
+        from nonode_tpu.sim.simulators import ChargedSim
+        key = jax.random.PRNGKey(0)
+        clean = ChargedSim(n_balls=5).sample_trajectory(key, 1000, 100)
+        noisy = ChargedSim(n_balls=5, noise_var=0.1).sample_trajectory(
+            key, 1000, 100)
+        np.testing.assert_array_equal(np.asarray(clean[2]),
+                                      np.asarray(noisy[2]))  # edges
+        d = np.asarray(noisy[0]) - np.asarray(clean[0])
+        assert 0.01 < np.abs(d).mean() < 0.5  # ~N(0, 0.1) perturbation
+        clean2 = ChargedSim(n_balls=5).sample_trajectory(key, 1000, 100)
+        np.testing.assert_array_equal(np.asarray(clean[0]),
+                                      np.asarray(clean2[0]))
+
+
+class TestGenerateSpringsQuirk:
+    def test_springs_ignores_initial_vel(self, tmp_path):
+        """The reference builds SpringSim WITHOUT vel_norm
+        (generate_dataset.py:45): --initial_vel 0 must NOT shrink spring
+        initial velocities to 1e-16."""
+        import argparse
+
+        from nonode_tpu.sim.generate import main as gen_main
+        args = argparse.Namespace(
+            simulation="springs", num_train=2, num_valid=2, num_test=2,
+            length=600, length_test=600, sample_freq=100, n_balls=5,
+            seed=1, initial_vel=0, suffix="tiny", outdir=tmp_path, chunk=500)
+        gen_main(args)
+        vel = np.load(tmp_path / "vel_train_springs5_initvel0tiny.npy")
+        # [S, T, 3, N]; first recorded frame keeps an O(0.5)-norm velocity
+        norms = np.linalg.norm(vel[:, 0], axis=1)
+        assert norms.mean() > 0.05, norms.mean()
