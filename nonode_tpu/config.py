@@ -53,7 +53,10 @@ def load_model_config(model: str, config_path: str | Path | None = None):
     """
     cls = {"egno": EGNOConfig, "segno": SEGNOConfig}[model]
     cfg = cls()
-    if config_path is not None and Path(config_path).exists():
+    if config_path is not None:
+        # fail loudly on a missing file like the reference's open(args.config)
+        # (main.py:69) — a typo'd path or wrong cwd must not silently train
+        # with built-in defaults. Pass None for the pure-defaults config.
         with open(config_path) as f:
             raw = yaml.safe_load(f)[model.upper()]
         fields = {f.name for f in dataclasses.fields(cls)}

@@ -77,10 +77,14 @@ def main(args):
     limit = 2 * 128 * 400
     if args.n_balls >= 20 and pressure > limit:
         new_b = max(32, int(args.batch_size * limit / pressure // 32 * 32))
-        print(f"HBM guard: batch {args.batch_size} -> {new_b}, remat on "
+        # remat only exists on the EGNO experiment (per-layer
+        # jax.checkpoint); SEGNO fleets rely on the batch reduction alone —
+        # don't claim otherwise in the log
+        remat_note = ", remat on" if args.model == "egno" else ""
+        print(f"HBM guard: batch {args.batch_size} -> {new_b}{remat_note} "
               f"(K={k}, N={args.n_balls})")
         args.batch_size = new_b
-        args.remat = True
+        args.remat = args.model == "egno"
 
     ds_kw = dict(data_dir=args.data_dir, dataset=args.dataset,
                  n_balls=args.n_balls, num_timesteps=args.num_timesteps)
@@ -90,11 +94,15 @@ def main(args):
     ds_test = NBodyDataset(partition="test", traj_len=args.traj_len, **ds_kw)
 
     if args.model == "egno":
+        # same kwargs as main.py:159-164 so YAML model_params overrides
+        # (with_v/flat/norm) reach the fleet too and fleet checkpoints load
+        # into the sequential driver's model
         model = EGNO(n_layers=cfg.n_layers, in_node_nf=cfg.in_node_nf,
                      in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
                      num_modes=cfg.num_modes,
                      num_timesteps=args.num_timesteps,
-                     time_emb_dim=cfg.time_emb_dim)
+                     time_emb_dim=cfg.time_emb_dim, with_v=cfg.with_v,
+                     flat=cfg.flat, norm=cfg.norm)
         exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
                              remat=args.remat)
     else:

@@ -94,6 +94,19 @@ def get_args(argv=None):
         for k, v in overrides.items():
             if hasattr(args, k):
                 setattr(args, k, v)
+        # the reference standalone driver's parser carries the
+        # hyperparameters directly (--lr/--nf/--n_layers/...,
+        # main_simulation_simple_no.py:389-399), so preset values take
+        # effect there; this unified driver keeps them in the model config
+        # — stash them for main() to overlay onto cfg
+        args._cfg_overrides = {
+            dst: overrides[src] for src, dst in
+            (("lr", "lr"), ("weight_decay", "weight_decay"),
+             ("n_layers", "n_layers"), ("nf", "hidden_nf"),
+             ("time_emb_dim", "time_emb_dim"), ("num_modes", "num_modes"))
+            if src in overrides}
+        if "max_training_samples" in overrides:
+            args.max_samples = overrides["max_training_samples"]
         args.outf = Path(args.outf)
         args.data_dir = Path(args.data_dir)
     return args
@@ -101,6 +114,13 @@ def get_args(argv=None):
 
 def main(args):
     cfg = load_model_config(args.model, args.config)
+    over = getattr(args, "_cfg_overrides", None)
+    if over:
+        # JSON preset hyperparameters override the YAML config, as in the
+        # reference standalone driver where they override parser defaults
+        cfg = dataclasses.replace(cfg, **{
+            k: (float(v) if k in ("lr", "weight_decay") else v)
+            for k, v in over.items()})
     print(args)
     seed = args.seed
     random.seed(seed)
@@ -288,7 +308,26 @@ def main(args):
     if Path(model_save_path).exists():
         params = load_params(model_save_path, params)
 
-    if args.model == "egno":
+    if args.traj_len <= 0:
+        # reference runs a PLAIN (non-rollout) test epoch when
+        # rollout=traj_len > 1 is false and saves no artifact for
+        # traj_len=0 (main.py:176,188). That path is only DEFINED for
+        # SEGNO: the EGNO test dataset has an empty out window at
+        # traj_len=0 and the reference crashes on losses[-1]
+        # (main_simulation_simple_no.py:274-287) — fail loudly instead of
+        # with a shape error deep in jit. traj_len=1 keeps our 1-window
+        # rollout (the reference NameErrors there on its own undefined
+        # trajectory save — documented divergence, README.md).
+        if args.model == "egno":
+            raise ValueError(
+                "EGNO requires --traj_len >= 1: at traj_len=0 the test "
+                "dataset's out window is empty (the reference crashes on "
+                "this config too, main_simulation_simple_no.py:274-287)")
+        _, _, test_loss = run_train_epoch(params, opt_state, ds_test,
+                                          train=False)
+        test_loss = float(np.asarray(test_loss))
+        avg_num_steps, artifact = 0.0, {}
+    elif args.model == "egno":
         test_loss, avg_num_steps, artifact = exp.test_rollout(
             params, ds_test, args.batch_size, rng)
     else:

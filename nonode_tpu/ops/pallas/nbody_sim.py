@@ -112,8 +112,11 @@ def gravity_leapfrog_block(pos, vel, acc, mass, steps: int, dt=0.001, g=1.0,
     Matches GravitySim's integration loop (synthetic_sim.py:383-398).
     """
     n = pos.shape[0]
-    bi = min(block_i, _round_up(n, 128))
-    np_ = _round_up(n, max(bi, 128))
+    # bi is rounded to a lane multiple and np_ to a multiple of bi, so the
+    # receiver grid tiles EXACTLY — a np_ % bi remainder would silently
+    # drop the tail block and return uninitialized force rows
+    bi = min(_round_up(block_i, 128), _round_up(n, 128))
+    np_ = _round_up(n, bi)
     pad = lambda a: jnp.zeros((3, np_), a.dtype).at[:, :n].set(a.T)
     mpad = jnp.zeros((1, np_), pos.dtype).at[0, :n].set(mass.reshape(-1))
 
@@ -160,8 +163,11 @@ def charged_leapfrog_block(pos, vel, charges, steps: int, dt=0.001, k=1.0,
     """Advance (pos, vel) by `steps` drift-force-kick micro-steps in one
     kernel. pos/vel: [N, 3]; charges: [N] or [N, 1]."""
     n = pos.shape[0]
-    bi = min(block_i, _round_up(n, 128))
-    np_ = _round_up(n, max(bi, 128))
+    # bi is rounded to a lane multiple and np_ to a multiple of bi, so the
+    # receiver grid tiles EXACTLY — a np_ % bi remainder would silently
+    # drop the tail block and return uninitialized force rows
+    bi = min(_round_up(block_i, 128), _round_up(n, 128))
+    np_ = _round_up(n, bi)
     pad = lambda a: jnp.zeros((3, np_), a.dtype).at[:, :n].set(a.T)
     qpad = jnp.zeros((1, np_), pos.dtype).at[0, :n].set(charges.reshape(-1))
 

@@ -71,8 +71,11 @@ def gravity_accel(pos, mass, g=1.0, softening=0.1, block_i=256,
     """
     n = pos.shape[0]
     mass = mass.reshape(-1)
-    bi = min(block_i, _round_up(n, 128))
-    np_ = _round_up(n, max(bi, 128))   # receiver grid must tile evenly
+    # bi is rounded to a lane multiple and np_ to a multiple of bi, so the
+    # receiver grid tiles EXACTLY — a np_ % bi remainder would silently
+    # drop the tail block and return uninitialized force rows
+    bi = min(_round_up(block_i, 128), _round_up(n, 128))
+    np_ = _round_up(n, bi)
     planes = jnp.zeros((3, np_), pos.dtype).at[:, :n].set(pos.T)
     mpad = jnp.zeros((1, np_), pos.dtype).at[0, :n].set(mass)
 
@@ -129,8 +132,11 @@ def charged_force(pos, charges, k=1.0, max_f=100.0, block_i=256,
     """Blockwise Coulomb forces. pos: [N, 3]; charges: [N] or [N, 1]."""
     n = pos.shape[0]
     q = charges.reshape(-1)
-    bi = min(block_i, _round_up(n, 128))
-    np_ = _round_up(n, max(bi, 128))   # receiver grid must tile evenly
+    # bi is rounded to a lane multiple and np_ to a multiple of bi, so the
+    # receiver grid tiles EXACTLY — a np_ % bi remainder would silently
+    # drop the tail block and return uninitialized force rows
+    bi = min(_round_up(block_i, 128), _round_up(n, 128))
+    np_ = _round_up(n, bi)
     planes = jnp.zeros((3, np_), pos.dtype).at[:, :n].set(pos.T)
     qpad = jnp.zeros((1, np_), pos.dtype).at[0, :n].set(q)
 

@@ -95,7 +95,8 @@ def conserved_energy(dataset: str, loc, vel, charges):
     if dataset == "gravity":
         return tot_energy_gravity_batch(loc, vel, charges)
     if dataset == "charged":
-        w = jnp.einsum("...ik,...jk->...ij", charges, charges)
+        w = jnp.einsum("...ik,...jk->...ij", charges, charges,
+                       precision=jax.lax.Precision.HIGHEST)
         return tot_energy_charged_batch(loc, vel, w)
     raise ValueError(f"Unknown dataset: {dataset}")
 

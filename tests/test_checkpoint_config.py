@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nonode_tpu.config import EGNOConfig, SEGNOConfig, load_model_config
 from nonode_tpu.models.egno import EGNO
@@ -72,6 +73,10 @@ class TestConfig:
         assert cfg.lr == 2e-4
         assert cfg.n_layers == 4  # untouched default
 
-    def test_missing_file_uses_defaults(self):
-        cfg = load_model_config("segno", "/nonexistent.yaml")
-        assert cfg == SEGNOConfig()
+    def test_missing_file_fails_loudly(self):
+        """A typo'd/missing config path must raise like the reference's
+        open(args.config) (main.py:69), not silently train with defaults;
+        None means pure defaults."""
+        with pytest.raises(FileNotFoundError):
+            load_model_config("segno", "/nonexistent.yaml")
+        assert load_model_config("segno", None) == SEGNOConfig()

@@ -81,6 +81,39 @@ class TestConfigByFile:
         assert args.exp_name == "simulation_exp"
         assert args.batch_size == 100
 
+    def test_preset_hyperparameters_reach_model(self, tiny_data, tmp_path,
+                                                monkeypatch):
+        """Preset hyperparameter keys (lr/nf/n_layers/...) must take effect
+        like in the reference standalone driver, whose parser carries them
+        directly (main_simulation_simple_no.py:389-399) — not be silently
+        dropped because this unified parser keeps them in the model
+        config."""
+        import json as _json
+
+        import nonode_tpu.main as m
+        preset = {"lr": 0.5, "nf": 8, "n_layers": 1,
+                  "max_training_samples": 16}
+        p = tmp_path / "hp.json"
+        p.write_text(_json.dumps(preset))
+        cap_model, cap_exp = {}, {}
+        real_model, real_exp = m.EGNO, m.EGNOExperiment
+
+        def spy_model(**kw):
+            cap_model.update(kw)
+            return real_model(**kw)
+
+        def spy_exp(model, **kw):
+            cap_exp.update(kw)
+            return real_exp(model, **kw)
+
+        monkeypatch.setattr(m, "EGNO", spy_model)
+        monkeypatch.setattr(m, "EGNOExperiment", spy_exp)
+        run_driver(tiny_data, tmp_path, "egno",
+                   extra=["--config_by_file", str(p)])
+        assert cap_model["hidden_nf"] == 8
+        assert cap_model["n_layers"] == 1
+        assert cap_exp["lr"] == 0.5
+
 
 class TestMeshDriver:
     @pytest.mark.parametrize("model", ["egno", "segno"])

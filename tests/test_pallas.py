@@ -69,3 +69,23 @@ class TestChargedKernel:
         np.testing.assert_allclose(np.asarray(full), np.asarray(full2),
                                    atol=1e-5)
         assert not np.allclose(np.asarray(full[:128]), np.asarray(sub))
+
+
+class TestTailBlockCoverage:
+    @pytest.mark.parametrize("n,block_i", [(250, 100), (300, 129), (131, 64)])
+    def test_non_dividing_block_size_covers_all_receivers(self, n, block_i):
+        """block_i values that don't divide the padded width must not drop
+        the tail block (regression: np_ was rounded to a multiple of 128
+        only, grid = np_ // bi truncated, and the last receivers returned
+        uninitialized rows)."""
+        rng = np.random.RandomState(0)
+        pos = jnp.asarray(rng.randn(n, 3), jnp.float32)
+        mass = jnp.asarray(rng.rand(n) + 0.5, jnp.float32)
+        got = gravity_accel(pos, mass, block_i=block_i, interpret=INTERPRET)
+        want = pairwise_accel_reference(pos, mass)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        q = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+        f = charged_force(pos, q, block_i=block_i, interpret=INTERPRET)
+        assert np.isfinite(np.asarray(f)).all()
