@@ -104,17 +104,24 @@ def _egno_setup(b=256, n=5, t=10, s=2048, remat=False, hidden=64):
 
 
 def _measure_epoch(exp, params, opt_state, arrays, idx_arrays, perm, reps):
-    """(seconds/step, XLA-counted flops/step) for the whole-epoch program."""
+    """(seconds/step, XLA-counted flops/step) for the whole-epoch program.
+
+    FLOPs are counted by lowering a ONE-batch epoch: HloCostAnalysis counts
+    a while/scan BODY once regardless of trip count (verified empirically:
+    scan(8 matmuls) reports the same 'flops' as 1 matmul), so lowering the
+    full-epoch program and dividing by num_batches would undercount by
+    ~num_batches. A length-1 scan makes body == one training step exactly.
+    """
     nb = perm.shape[0]
     try:
         cost = type(exp).train_epoch.lower(
-            exp, params, opt_state, arrays, idx_arrays, perm).compile() \
+            exp, params, opt_state, arrays, idx_arrays, perm[:1]).compile() \
             .cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops_epoch = float(cost.get("flops", 0.0))
+        flops_step = float(cost.get("flops", 0.0))
     except Exception:
-        flops_epoch = 0.0
+        flops_step = 0.0
 
     state = [params, opt_state]
 
@@ -124,7 +131,7 @@ def _measure_epoch(exp, params, opt_state, arrays, idx_arrays, perm, reps):
         return losses
 
     dt = timeit(one_epoch, reps=reps) / nb
-    return dt, (flops_epoch / nb if flops_epoch else 0.0)
+    return dt, flops_step
 
 
 def bench_egno_step(b=256):
@@ -226,12 +233,14 @@ def bench_segno_step(b=256, s=2048, reps=40):
     nb = perm.shape[0]
 
     try:
+        # length-1 scan: HloCostAnalysis counts the scan body once (see
+        # _measure_epoch), so a one-batch epoch IS one step's flops
         cost = type(exp).train_epoch.lower(
-            exp, params, opt_state, arrays, perm, frames, in_steps) \
+            exp, params, opt_state, arrays, perm[:1], frames, in_steps) \
             .compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops_step = float(cost.get("flops", 0.0)) / nb
+        flops_step = float(cost.get("flops", 0.0))
     except Exception:
         flops_step = 0.0
 
@@ -344,8 +353,10 @@ def main():
         headline = bench_egno_step()
         results.append(headline)
         import pathlib
-        pathlib.Path("results").mkdir(exist_ok=True)
-        with open("results/bench_full.json", "w") as f:
+        # anchor to the repo root, not the cwd
+        out = pathlib.Path(__file__).resolve().parent / "results"
+        out.mkdir(exist_ok=True)
+        with open(out / "bench_full.json", "w") as f:
             json.dump(results, f, indent=2)
         print(json.dumps(headline))
     else:

@@ -1,0 +1,61 @@
+"""Sweep-ledger + artifact join, shared by the RESULTS.md table tools.
+
+One implementation of the load pipeline both `scripts/pro_table.py` and
+`scripts/protocol_compare.py` consume: parse every ``sweep_*.jsonl`` ledger
+in an outf directory (parallel/sweep.py's resume format), look up each
+record's trajectory artifact by the canonical filename stem
+(registry.artifact_stem), and attach the divergence-aware companion metrics
+(finite_fraction / test_loss_finite from the artifact, loss@16 via
+results.short_horizon_loss).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from .registry import artifact_stem
+from .results import short_horizon_loss
+
+
+def load_ledger_groups(outf) -> dict:
+    """{(model, dataset, n_balls, num_inputs, varDT): [per-seed records]}.
+
+    Each record: {val, test, best_epoch, ff, tlf, h16, ff16} — ledger
+    best-val/test plus artifact companions (NaN when the artifact is
+    missing).
+    """
+    outf = Path(outf)
+    recs = []
+    for ledger in sorted(outf.glob("sweep_*.jsonl")):
+        recs += [json.loads(line) for line in ledger.read_text().splitlines()]
+    groups = defaultdict(list)
+    for r in recs:
+        c = r["config"]
+        stem = artifact_stem(c["model"], c["dataset"], c["seed"],
+                             c["n_balls"], c["num_inputs"], varDT=c["varDT"])
+        art = outf / c.get("exp_name", "_exp_new") / (stem + "_results.npz")
+        ff = tlf = h16 = ff16 = float("nan")
+        if art.exists():
+            d = np.load(art, allow_pickle=True)
+            if "finite_fraction" in d.files:
+                ff = float(d["finite_fraction"])
+            if "test_loss_finite" in d.files:
+                tlf = float(d["test_loss_finite"])
+            h16, _, ff16 = short_horizon_loss(d)
+        key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
+               bool(c["varDT"]))
+        groups[key].append({"val": r["best_val_loss"], "test": r["test_loss"],
+                            "best_epoch": r.get("best_epoch", -1),
+                            "ff": ff, "tlf": tlf, "h16": h16, "ff16": ff16})
+    return groups
+
+
+def mean_std(vals) -> str:
+    """'mean ± std' with ddof=1, the reference's seed-aggregation formula."""
+    vals = np.asarray(vals, dtype=float)
+    std = np.std(vals, ddof=1) if len(vals) > 1 else 0.0
+    return f"{np.mean(vals):.4f} ± {std:.4f}"

@@ -77,9 +77,12 @@ ROOT_CAUSES: dict[tuple[str, str], dict] = {
         "test trajectories ({4,15,42,118,144,156,162,175} — 8/10 of the "
         "blown-sample union shared, one private sample per side), with "
         "per-seed blown counts ref [2,0,2,4,2,0,5,2,7,8] vs jax "
-        "[2,6,2,7,5,5,6,1,2,4]: pooled event rate 1.6% vs 2.0% (Fisher "
-        "odds 1.26, p=0.41), per-seed Mann-Whitney p=0.46 — statistically "
-        "indistinguishable — and uncorrelated with convergence quality "
+        "[2,6,2,7,5,5,6,1,2,4]: the SEED is the independent unit (blowups "
+        "cluster on the same trajectories, so pooled per-sample tests "
+        "overstate N), and at seed level the difference is far from "
+        "significant — permutation test over seeds p=0.53, per-seed "
+        "Mann-Whitney p=0.46 (pooled rates 1.6% vs 2.0%, descriptive "
+        "only) — and uncorrelated with convergence quality "
         "(Spearman(best_val, blown count) = -0.06). The round-2 5-seed "
         "group mean flagged 5-10x because the unbounded per-sample loss "
         "of a diverged chaotic trajectory (Lyapunov growth makes the "
@@ -203,7 +206,7 @@ def best_val_from_json(art_path):
     return min(d["val loss"]) if d.get("val loss") else float("nan")
 
 
-def summarize(arts, results):
+def summarize(arts):
     """arts: list of artifact paths for one (side, model) group."""
     from nonode_tpu.analysis.results import analyze_group, load_artifact
     g = analyze_group(arts)
@@ -449,6 +452,26 @@ def main():
     cfg.data_dir = cfg.workdir / "data"
     cfg.workdir.mkdir(parents=True, exist_ok=True)
 
+    # provenance guard: resumed runs reuse artifacts keyed only by
+    # (model, dataset, seed) — a changed protocol flag would silently mix
+    # old artifacts under a new report header. Pin the anchor config on
+    # first run; refuse to resume under a different one.
+    prov_keys = ("dataset", "n_balls", "epochs", "batch_size", "max_samples",
+                 "n_train", "n_valid", "n_test", "length", "traj_len")
+    prov = {k: getattr(cfg, k) for k in prov_keys}
+    prov_path = cfg.workdir / "anchor_config.json"
+    if prov_path.exists():
+        saved = json.loads(prov_path.read_text())
+        if saved != prov:
+            diff = {k: (saved.get(k), prov[k]) for k in prov_keys
+                    if saved.get(k) != prov[k]}
+            raise SystemExit(
+                f"workdir {cfg.workdir} holds artifacts from a DIFFERENT "
+                f"anchor config {diff} (saved vs requested) — use a fresh "
+                f"--workdir or rerun with the saved config")
+    else:
+        prov_path.write_text(json.dumps(prov, indent=2))
+
     ensure_data(cfg)
 
     arts = {}
@@ -468,7 +491,7 @@ def main():
 
     from nonode_tpu.analysis.results import (analyze_group,
                                              plot_multiple_curves)
-    groups = {k: summarize(v, None) for k, v in arts.items()}
+    groups = {k: summarize(v) for k, v in arts.items()}
 
     figdir = REPO / "docs" / "figures"
     figdir.mkdir(parents=True, exist_ok=True)

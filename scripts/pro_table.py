@@ -10,23 +10,13 @@ Usage: python scripts/pro_table.py [--outf results/pro]
 """
 
 import argparse
-import json
-from collections import defaultdict
 from pathlib import Path
+import sys
 
 import numpy as np
 
-
-def stem(c):
-    from nonode_tpu.analysis.registry import artifact_stem
-    return artifact_stem(c["model"], c["dataset"], c["seed"], c["n_balls"],
-                         c["num_inputs"], varDT=c["varDT"])
-
-
-import sys
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from nonode_tpu.analysis.results import short_horizon_loss  # noqa: E402
+from nonode_tpu.analysis.ledger import load_ledger_groups, mean_std  # noqa: E402
 
 
 def main():
@@ -34,25 +24,7 @@ def main():
     ap.add_argument("--outf", type=Path, default=Path("results/pro"))
     args = ap.parse_args()
 
-    recs = []
-    for ledger in sorted(args.outf.glob("sweep_*.jsonl")):
-        recs += [json.loads(line) for line in ledger.read_text().splitlines()]
-
-    groups = defaultdict(list)
-    for r in recs:
-        c = r["config"]
-        art = args.outf / c.get("exp_name", "_exp_new") / (stem(c) + "_results.npz")
-        ff = tlf = h16 = ff16 = float("nan")
-        if art.exists():
-            d = np.load(art, allow_pickle=True)
-            ff = float(d["finite_fraction"])
-            tlf = float(d["test_loss_finite"])
-            h16, _, ff16 = short_horizon_loss(d)
-        key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
-               bool(c["varDT"]))
-        groups[key].append(
-            {"val": r["best_val_loss"], "test": r["test_loss"],
-             "ff": ff, "tlf": tlf, "h16": h16, "ff16": ff16})
+    groups = load_ledger_groups(args.outf)
 
     print("| model | dataset | N | inputs | varDT | best val (mean±std) | "
           "finite frac | loss (finite, median) | loss@16 (median) | "
@@ -60,15 +32,13 @@ def main():
     print("|---|---|---|---|---|---|---|---|---|---|")
     for key in sorted(groups):
         g = groups[key]
-        vals = np.array([x["val"] for x in g], dtype=float)
         ffs = np.array([x["ff"] for x in g], dtype=float)
         tlfs = np.array([x["tlf"] for x in g], dtype=float)
         h16s = np.array([x["h16"] for x in g], dtype=float)
         ff16s = np.array([x["ff16"] for x in g], dtype=float)
         m, dataset, n, ni, vdt = key
-        std = np.std(vals, ddof=1) if len(vals) > 1 else 0.0
         print(f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
-              f"| {np.mean(vals):.4f} ± {std:.4f} "
+              f"| {mean_std([x['val'] for x in g])} "
               f"| {np.nanmean(ffs):.2f} | {np.nanmedian(tlfs):.3g} "
               f"| {np.nanmedian(h16s):.3g} | {np.nanmean(ff16s):.2f} |")
 

@@ -14,49 +14,13 @@ Usage:
 """
 
 import argparse
-import json
-from collections import defaultdict
 from pathlib import Path
 import sys
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from nonode_tpu.analysis.results import short_horizon_loss  # noqa: E402
-
-
-def stem(c):
-    from nonode_tpu.analysis.registry import artifact_stem
-    return artifact_stem(c["model"], c["dataset"], c["seed"], c["n_balls"],
-                         c["num_inputs"], varDT=c["varDT"])
-
-
-def load(outf):
-    """group key -> list of per-seed records (ledger + artifact metrics)."""
-    outf = Path(outf)
-    recs = []
-    for ledger in sorted(outf.glob("sweep_*.jsonl")):
-        recs += [json.loads(line) for line in ledger.read_text().splitlines()]
-    groups = defaultdict(list)
-    for r in recs:
-        c = r["config"]
-        art = outf / c.get("exp_name", "_exp_new") / (stem(c) + "_results.npz")
-        h16 = ff16 = float("nan")
-        if art.exists():
-            d = np.load(art, allow_pickle=True)
-            h16, _, ff16 = short_horizon_loss(d)
-        key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
-               bool(c["varDT"]))
-        groups[key].append({"val": r["best_val_loss"],
-                            "best_epoch": r["best_epoch"],
-                            "h16": h16, "ff16": ff16})
-    return groups
-
-
-def fmt_ms(vals):
-    vals = np.asarray(vals, dtype=float)
-    std = np.std(vals, ddof=1) if len(vals) > 1 else 0.0
-    return f"{np.mean(vals):.4f} ± {std:.4f}"
+from nonode_tpu.analysis.ledger import load_ledger_groups, mean_std  # noqa: E402
 
 
 def main():
@@ -67,7 +31,7 @@ def main():
                     help="reference-protocol ledger dir")
     args = ap.parse_args()
 
-    short, ref = load(args.short), load(args.ref)
+    short, ref = load_ledger_groups(args.short), load_ledger_groups(args.ref)
     keys = sorted(ref)  # the ref rerun defines the rows (PRO_HEADLINE subset)
 
     print("| model | dataset | N | inputs | varDT | best val «300ep» | "
@@ -90,8 +54,8 @@ def main():
             vs = np.mean([x["val"] for x in g_short])
             delta = f"{(np.mean(vals_ref) - vs) / vs * 100:+.0f}%"
         print(f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
-              f"| {fmt_ms([x['val'] for x in g_short]) if g_short else '—'} "
-              f"| {fmt_ms(vals_ref)} | {delta} "
+              f"| {mean_std([x['val'] for x in g_short]) if g_short else '—'} "
+              f"| {mean_std(vals_ref)} | {delta} "
               f"| {int(np.median(epochs))} [{int(epochs.min())}-"
               f"{int(epochs.max())}] "
               f"| {np.nanmedian(h16s):.3g} | {np.nanmean(ff16s):.2f} |")

@@ -116,6 +116,19 @@ def direction_b(cfg_args, exp):
     template, _ = exp.init(jax.random.PRNGKey(0))
     out = {}
     scratch = cfg_args.workdir / "transplant_b"
+    # cache is valid only under the SAME eval config: a changed
+    # --max_samples/--traj_len/--batch_size would silently compare rollouts
+    # over different sample sets. Checked once for the whole run.
+    eval_cfg = {"max_samples": cfg_args.max_samples,
+                "traj_len": cfg_args.traj_len,
+                "batch_size": cfg_args.batch_size,
+                "dataset": cfg_args.dataset, "n_balls": cfg_args.n_balls}
+    cfg_path = scratch / "eval_config.json"
+    cfg_stale = (not cfg_path.exists()
+                 or json.loads(cfg_path.read_text()) != eval_cfg)
+    if cfg_stale:
+        scratch.mkdir(parents=True, exist_ok=True)
+        cfg_path.write_text(json.dumps(eval_cfg, indent=2))
     for seed in cfg_args.seeds:
         s = stem(seed, cfg_args.dataset, cfg_args.n_balls)
         params = load_params(
@@ -125,9 +138,7 @@ def direction_b(cfg_args, exp):
         (scratch / "0exp_new").mkdir(parents=True, exist_ok=True)
         res_pt = scratch / "0exp_new" / f"{s}_results.pt"
         ckpt = cfg_args.workdir / "jax" / "0exp_new" / f"{s}.ckpt"
-        # cache only against the CURRENT jax checkpoint: a retrained seed
-        # (newer .ckpt) invalidates the stored reference rollout
-        if not res_pt.exists() \
+        if cfg_stale or not res_pt.exists() \
                 or res_pt.stat().st_mtime < ckpt.stat().st_mtime:
             res_pt.unlink(missing_ok=True)
             torch.save(sd, scratch / "0exp_new" / f"{s}.pth")
