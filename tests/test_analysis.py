@@ -22,8 +22,8 @@ def artifacts(tmp_path):
     paths = []
     for seed in range(3):
         targets = rng.randn(16, 20, 5, 3).astype(np.float32)
-        preds = targets + 0.1 * rng.randn(16, 8, 5, 3).astype(np.float32) \
-            if False else targets[:, :8] + 0.1 * rng.randn(16, 8, 5, 3)
+        preds = (targets[:, :8]
+                 + 0.1 * rng.randn(16, 8, 5, 3)).astype(np.float32)
         energy = 2.0 + 0.01 * rng.randn(16, 8, 1)
         p = tmp_path / f"seed{seed}_results.npz"
         np.savez(p, targets=targets, preds=preds,

@@ -190,7 +190,11 @@ class TestMotionRunParity:
         dense = np.asarray(ds.edge_attr[..., 0])
         for r, c, a in zip(rows, cols, attrs):
             assert dense[r, c] == a
-        assert np.asarray(ds.edge_mask).sum() == len(rows)
+        # the mask must be set at EXACTLY the reference edge positions —
+        # a right-count/wrong-cells mask would train on a wrong graph
+        want = np.zeros_like(np.asarray(ds.edge_mask), bool)
+        want[rows, cols] = True
+        np.testing.assert_array_equal(np.asarray(ds.edge_mask) > 0, want)
 
     def test_dynamics_dataset(self):
         ds = MotionDynamicsDataset(data_dir=REF_MOTION, partition="val",

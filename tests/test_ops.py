@@ -65,6 +65,7 @@ class TestEGNNLayer:
         x1, v1, h1 = layer(p, x, h, e, v)
         x2, v2, h2 = layer(p, x @ r, h, e, v @ r)
         np.testing.assert_allclose(x2, x1 @ r, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(v2, v1 @ r, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(h2, h1, rtol=1e-4, atol=1e-5)
 
     def test_translation_equivariance(self):
@@ -189,3 +190,11 @@ class TestSpectral:
         # t=0: sin terms are 0, cos terms are 1
         np.testing.assert_allclose(emb[0, 0, :4], np.zeros(4), atol=1e-6)
         np.testing.assert_allclose(emb[0, 0, 4:], np.ones(4), atol=1e-6)
+        # nonzero t against the closed form (pins the frequency base 10000
+        # — t=0 alone is base-independent)
+        import math
+        freqs = np.exp(np.arange(4) * -(math.log(10000) / 3))
+        np.testing.assert_allclose(emb[0, 2, :4], np.sin(2.0 * freqs),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(emb[0, 2, 4:], np.cos(2.0 * freqs),
+                                   rtol=1e-5, atol=1e-6)

@@ -161,12 +161,20 @@ class TestSeedFleet:
                                  s, 8)
 
         params, opt_state = fleet.init()
+        # fleet init must equal a TRULY independent exp.init per seed (not
+        # asserted against itself) and replicas must differ across seeds
+        p1, o1 = exp.init(jax.random.PRNGKey(1))
+        for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[1], params)),
+                        jax.tree.leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        l0 = jax.tree.leaves(jax.tree.map(lambda x: x[0], params))
+        l1 = jax.tree.leaves(jax.tree.map(lambda x: x[1], params))
+        assert any(not np.array_equal(a, b) for a, b in zip(l0, l1)), \
+            "fleet replicas share identical init weights"
         p2, o2, losses, _ = fleet.train_epoch(params, opt_state, arrays,
                                               idx_arrays, jnp.asarray(perms))
 
-        # replica 1 individually
-        p1 = jax.tree.map(lambda a: a[1], params)
-        o1 = jax.tree.map(lambda a: a[1], opt_state)
+        # replica 1 individually, from the independent init
         p1b, o1b, losses1, _ = exp.train_epoch(p1, o1, arrays, idx_arrays,
                                                jnp.asarray(perms[1]))
         np.testing.assert_allclose(np.asarray(losses[1]), np.asarray(losses1),
@@ -199,11 +207,13 @@ class TestSeedFleet:
                                  s, 8)
 
         params, opt_state = fleet.init()
+        p1, o1 = exp.init(jax.random.PRNGKey(1))
+        for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[1], params)),
+                        jax.tree.leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         p2, o2, losses = fleet.train_epoch_segno(
             params, opt_state, arrays, jnp.asarray(perms), frames, in_steps)
 
-        p1 = jax.tree.map(lambda a: a[1], params)
-        o1 = jax.tree.map(lambda a: a[1], opt_state)
         p1b, _, losses1 = exp.train_epoch(p1, o1, arrays,
                                           jnp.asarray(perms[1]), frames,
                                           in_steps)

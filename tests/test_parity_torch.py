@@ -109,6 +109,9 @@ class TestEGNNLayerParity:
                                    xt.numpy(), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(hj).reshape(-1, hd),
                                    ht.numpy(), rtol=1e-4, atol=1e-5)
+        if with_v:
+            np.testing.assert_allclose(np.asarray(vj).reshape(-1, 3),
+                                       vt.numpy(), rtol=1e-4, atol=1e-5)
 
 
 class TestSpectralParity:
@@ -535,3 +538,64 @@ class TestRFVelParity:
                    jnp.asarray(ea_dense))
         np.testing.assert_allclose(np.asarray(xj).reshape(-1, 3), xt.numpy(),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestEGNORolloutRealReference:
+    def test_rollout_matches_actual_reference_rollout_fn(self, ref):
+        """Invoke the reference's OWN rollout_fn + prepare_inputs
+        (main_simulation_simple_no.py:311-384, imported with the
+        random_ascending_tensor shim) rather than a transcription of them —
+        a transcription error could let both sides agree while diverging
+        from the real reference."""
+        import importlib
+
+        torch = ref.torch
+        from nonode_tpu.train.loop import EGNOExperiment
+
+        eg_utils = importlib.import_module("EGNO.utils")
+        if not hasattr(eg_utils, "random_ascending_tensor"):
+            root_utils = importlib.import_module("utils")
+            eg_utils.random_ascending_tensor = root_utils.random_ascending_tensor
+        rm = importlib.import_module("EGNO.main_simulation_simple_no")
+
+        b, n, hd, t, traj_len = 2, 5, 32, 5, 3
+        torch.manual_seed(5)
+        tm = ref.TorchEGNO(n_layers=2, in_node_nf=2, in_edge_nf=2,
+                           hidden_nf=hd, with_v=True, num_modes=2,
+                           num_timesteps=t, time_emb_dim=16, num_inputs=1)
+        model = EGNO(n_layers=2, in_node_nf=2, in_edge_nf=2, hidden_nf=hd,
+                     num_modes=2, num_timesteps=t, time_emb_dim=16)
+        p = egno_params_from_state_dict(tm.state_dict(), n_layers=2)
+        exp = EGNOExperiment(model)
+
+        rng = np.random.RandomState(11)
+        loc = rng.randn(b, n, 3).astype(np.float32)
+        vel = rng.randn(b, n, 3).astype(np.float32)
+        charges = rng.choice([-1.0, 1.0], (b, n, 1)).astype(np.float32)
+        w = np.einsum("bik,bjk->bij", charges, charges)[..., None] \
+            .astype(np.float32)
+        t_out_all = np.broadcast_to(
+            np.arange(1, t * traj_len + 1, dtype=np.float32),
+            (b, t * traj_len)).copy()
+
+        rows, cols = sparse_edges(b, n)
+        edges_t = [torch.tensor(rows), torch.tensor(cols)]
+        ea_o = torch.tensor(dense_to_sparse_attr(w))
+        charges_t = torch.tensor(charges)
+        with torch.no_grad():
+            l0, v0, ea, nd, lm = rm.prepare_inputs(
+                torch.tensor(loc), torch.tensor(vel), ea_o, edges_t, n, 1,
+                charges_t)
+            loc_preds, _, _ = rm.rollout_fn(
+                tm, nd, l0, edges_t, v0, ea_o, ea, lm, n, traj_len, b,
+                charges=charges_t, num_steps=t,
+                timesteps_in=torch.zeros((b, 1), dtype=torch.long),
+                timesteps_out=torch.tensor(t_out_all))
+        preds_ref = loc_preds.numpy().reshape(traj_len * t, b, n, 3)
+
+        batch = (jnp.asarray(loc)[:, None], jnp.asarray(vel)[:, None],
+                 jnp.asarray(charges), jnp.asarray(w), None,
+                 jnp.zeros((b, 1), jnp.float32), jnp.asarray(t_out_all))
+        locs_pred, _ = exp.rollout(p, batch, traj_len, "charged")
+        np.testing.assert_allclose(np.asarray(locs_pred), preds_ref,
+                                   rtol=2e-4, atol=2e-4)

@@ -275,6 +275,8 @@ class TestSEGNODynamicSampling:
                                    rtol=0, atol=0)
         np.testing.assert_allclose(np.asarray(vs), np.asarray(vd),
                                    rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(hs), np.asarray(hd),
+                                   rtol=0, atol=0)
 
     def test_train_epoch_dynamic_matches_static(self, charged_ds):
         """With constant (non-varDT) steps both epoch programs must produce

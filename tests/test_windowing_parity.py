@@ -96,11 +96,23 @@ def test_vardt_windowing_matches_reference_with_pinned_sampler(
                              num_inputs=3, traj_len=1, dT=1, varDT=True)
     _, _, _, _, locs_out, frame_0, out_indices = ref_ds[0]
 
-    # our arithmetic with the same t_in offsets: t_in = -flip([0, 3, 7])
-    t_in = -np.array([7, 3, 0])
-    frames = 30 + t_in * 1
-    shift = max(-frames.min(), 0)
-    frames = frames + shift
-    np.testing.assert_array_equal(frames, np.asarray(frame_0))
-    out = np.arange(31, 41) + (frames[-1] - 30)
-    np.testing.assert_array_equal(out, np.asarray(out_indices))
+    # pin OUR sampler to the same offsets and run the PRODUCTION index
+    # path (NBodyDataset.sample_input_offsets through
+    # EGNOExperiment.epoch_index_arrays) — not a re-transcription of the
+    # shift arithmetic, which would let the implementation drift unpinned
+    import nonode_tpu.data.nbody as nbody_mod
+    from nonode_tpu.models.egno import EGNO
+    from nonode_tpu.train.loop import EGNOExperiment
+
+    monkeypatch.setattr(
+        nbody_mod, "random_ascending",
+        lambda rng, length, mn, mx: np.array([3, 7])[:length])
+    ours = NBodyDataset(partition="train", data_dir=fixture_dir,
+                        dataset="charged", n_balls=5, num_timesteps=10,
+                        num_inputs=3, traj_len=1, varDT=True)
+    exp = EGNOExperiment(EGNO(n_layers=1, hidden_nf=8, num_timesteps=10,
+                              time_emb_dim=4, num_modes=2, num_inputs=3))
+    idx = exp.epoch_index_arrays(ours, np.random.RandomState(0))
+    np.testing.assert_array_equal(idx["frames_in"][0], np.asarray(frame_0))
+    np.testing.assert_array_equal(idx["out_frames"][0],
+                                  np.asarray(out_indices))
