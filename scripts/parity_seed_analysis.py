@@ -151,7 +151,10 @@ def main():
         for i in range(len(perm_stats)):
             p_ = rng.permutation(pooled)
             perm_stats[i] = p_[:nj].mean() - p_[nj:].mean()
-        p_perm = float((np.abs(perm_stats) >= abs(obs) - 1e-12).mean())
+        # Phipson-Smyth +1 correction: the observed assignment counts as
+        # one permutation, so min attainable p is 1/(n_perm+1), never 0
+        n_ge = int((np.abs(perm_stats) >= abs(obs) - 1e-12).sum())
+        p_perm = float((n_ge + 1) / (len(perm_stats) + 1))
         print(f"  seed-level permutation test (mean count diff "
               f"{obs:+.2f}): p={p_perm:.3f}")
         stats_out = {"permutation_p": p_perm,

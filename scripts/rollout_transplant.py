@@ -128,6 +128,11 @@ def direction_b(cfg_args, exp):
                  or json.loads(cfg_path.read_text()) != eval_cfg)
     if cfg_stale:
         scratch.mkdir(parents=True, exist_ok=True)
+        # purge ALL cached rollouts before stamping the new config: the
+        # stamp is written up front, so an interrupted run must not leave
+        # old-config caches that a resume would accept via the mtime check
+        for old in (scratch / "0exp_new").glob("*_results.pt"):
+            old.unlink()
         cfg_path.write_text(json.dumps(eval_cfg, indent=2))
     for seed in cfg_args.seeds:
         s = stem(seed, cfg_args.dataset, cfg_args.n_balls)
