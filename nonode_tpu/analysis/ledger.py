@@ -5,7 +5,7 @@ One implementation of the load pipeline both `scripts/pro_table.py` and
 in an outf directory (parallel/sweep.py's resume format), look up each
 record's trajectory artifact by the canonical filename stem
 (registry.artifact_stem), and attach the divergence-aware companion metrics
-(finite_fraction / test_loss_finite from the artifact, loss@16 via
+(finite_fraction / test_loss_finite from the artifact, loss@20-frames via
 results.short_horizon_loss).
 """
 
@@ -24,9 +24,11 @@ from .results import short_horizon_loss
 def load_ledger_groups(outf) -> dict:
     """{(model, dataset, n_balls, num_inputs, varDT): [per-seed records]}.
 
-    Each record: {val, test, best_epoch, ff, tlf, h16, ff16} — ledger
+    Each record: {val, test, best_epoch, ff, tlf, h20, ff20} — ledger
     best-val/test plus artifact companions (NaN when the artifact is
-    missing).
+    missing). h20/ff20 are at a 20-FRAME physical horizon for both models
+    (EGNO logs per frame, SEGNO per num_timesteps-frame window — see
+    results.short_horizon_loss), so the column is cross-model comparable.
     """
     outf = Path(outf)
     recs = []
@@ -38,19 +40,23 @@ def load_ledger_groups(outf) -> dict:
         stem = artifact_stem(c["model"], c["dataset"], c["seed"],
                              c["n_balls"], c["num_inputs"], varDT=c["varDT"])
         art = outf / c.get("exp_name", "_exp_new") / (stem + "_results.npz")
-        ff = tlf = h16 = ff16 = float("nan")
+        ff = tlf = h20 = ff20 = float("nan")
         if art.exists():
             d = np.load(art, allow_pickle=True)
             if "finite_fraction" in d.files:
                 ff = float(d["finite_fraction"])
             if "test_loss_finite" in d.files:
                 tlf = float(d["test_loss_finite"])
-            h16, _, ff16 = short_horizon_loss(d)
+            # EGNO artifacts log one entry per FRAME, SEGNO one entry per
+            # num_timesteps-frame WINDOW (canonical T=10, encoded in the
+            # artifact stem) — a frame-based horizon needs the stride
+            fpe = 1 if c["model"] == "egno" else 10
+            h20, _, ff20 = short_horizon_loss(d, frames_per_entry=fpe)
         key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
                bool(c["varDT"]))
         groups[key].append({"val": r["best_val_loss"], "test": r["test_loss"],
                             "best_epoch": r.get("best_epoch", -1),
-                            "ff": ff, "tlf": tlf, "h16": h16, "ff16": ff16})
+                            "ff": ff, "tlf": tlf, "h20": h20, "ff20": ff20})
     return groups
 
 

@@ -21,7 +21,7 @@ FNAME_RE = re.compile(
     r"(?P<model>EGNO|SEGNO)_(?P<dataset>\w+?)_seed=(?P<seed>\d+)"
     r"_n_part=(?P<n_balls>\d+)_n_inputs=(?P<num_inputs>\d+)"
     r"_dT_(?P<dT>\d+)_varDT=(?P<varDT>\w+)"
-    r"_num_timesteps=(?P<num_timesteps>\d+)_results\.(?P<fmt>npz|pt)")
+    r"_num_timesteps=(?P<num_timesteps>\d+)_results\.(?P<fmt>npz|pt)$")
 
 SRC_NAME = {"npz": "jax", "pt": "torch"}
 

@@ -115,18 +115,29 @@ def energy_drift_per_timestep(energy):
         return (drift[..., 0] ** 2).mean(axis=0)
 
 
-def short_horizon_loss(artifact, h=16):
-    """Headline loss at an h-step horizon (default 16 = the reference's
-    40%-cut `test_loss` as it would log at traj_len 4, the parity-anchor
-    config; main_simulation_simple_no.py:239-244). At the grids' traj_len
-    20 the 200-frame `test_loss` is dominated by diverged-sample noise for
-    EGNO (finite fractions <= 0.3, RESULTS.md); this gives every cell a
-    comparable headline number from the stored artifact.
+def short_horizon_loss(artifact, h_frames=20, frames_per_entry=1):
+    """Headline loss at a PHYSICAL horizon of `h_frames` sampled frames,
+    comparable ACROSS models whose artifacts log on different grids: EGNO
+    artifacts store one entry per frame (rollout, loop.py:286-335) while
+    SEGNO artifacts store one entry per `num_timesteps`-frame window
+    (pred_indices = start + cumsum([T]*traj_len), loop.py:604-665) — both
+    layouts match the reference's own artifacts
+    (main_simulation_simple_no.py:342-384 / SEGNO/train_nbody.py:118-140).
+    Entry i sits at frame (i+1)*frames_per_entry, so the horizon covers the
+    entries with (i+1)*frames_per_entry <= h_frames, and the loss is the MSE
+    over each artifact's native logging grid within those frames (exactly
+    how the reference's own 40%-cut `test_loss` averages each model's
+    native grid; main_simulation_simple_no.py:239-244). Default 20 frames =
+    2 SEGNO windows at the canonical T=10 and the reference's 40% cut at
+    traj_len 5 for EGNO. At the grids' traj_len 20 the 200-frame
+    `test_loss` is dominated by diverged-sample noise for EGNO (finite
+    fractions <= 0.3, RESULTS.md); this gives every cell a comparable
+    headline number from the stored artifact.
 
     Returns (loss_all_samples, loss_finite_samples, finite_frac@h)."""
     preds = np.asarray(artifact["preds"])
     targets = np.asarray(artifact["targets"])[:, : preds.shape[1]]
-    k = min(h, preds.shape[1])
+    k = min(max(h_frames // frames_per_entry, 1), preds.shape[1])
     p = _flat(preds)[:, :k]
     t = _flat(targets)[:, :k]
     with np.errstate(invalid="ignore", over="ignore"):

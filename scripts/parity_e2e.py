@@ -34,13 +34,24 @@ sys.path.insert(0, str(REPO))
 
 # Adjudications of systematic deviations flagged by the two-sided verdict.
 # Keyed by (dataset, model). Each entry is BOUND to the exact config it
-# examined ("n_balls") and the exact check set it explains ("checks"): a
-# future regeneration that fails a DIFFERENT check, or runs at a different
-# config, stays DIVERGENCE-OPEN instead of inheriting a stale adjudication.
+# examined ("n_balls"), the exact check set it explains ("checks"), AND a
+# machine-checkable shape "signature" of the deviation it root-caused
+# (direction / where in the horizon it lives, evaluated on the current
+# run's ratio stats): a future regeneration that fails a DIFFERENT check,
+# runs at a different config, or deviates with a different shape (e.g. the
+# OPPOSITE direction, or a uniform band shift instead of a tail spike)
+# stays DIVERGENCE-OPEN instead of inheriting a stale adjudication.
 # Filled once a deviation is root-caused (or pinned with a minimal repro).
+# Signature stats: geo (whole-horizon geomean of the jax/ref per-step MSE
+# ratio), head_geo (geomean over the first 60% of steps), tail_worst
+# (worst 4-step sliding-window geomean).
 ROOT_CAUSES: dict[tuple[str, str], dict] = {
     ("charged", "egno"): {
-        "checks": frozenset({"one_sided"}), "n_balls": 5, "cause":
+        "checks": frozenset({"one_sided"}), "n_balls": 5,
+        # explains a jax-BETTER drift (stuck ref seed inflates the ref
+        # mean); a jax-WORSE one-sided drift is a different finding
+        "signature": lambda st: st["geo"] < 1.0,
+        "cause":
         "the `one_sided` drift (group-mean per-step ratio geomean 0.65, all "
         "16 steps < 1) is an OUTLIER ARTIFACT, not a mechanism: reference "
         "seed 1 converges to a stuck plateau (best val 0.470 = 10x the "
@@ -58,7 +69,13 @@ ROOT_CAUSES: dict[tuple[str, str], dict] = {
         "results/parity_e2e_charged/seed_analysis.json "
         "(scripts/parity_seed_analysis.py)."},
     ("gravity", "egno"): {
-        "checks": frozenset({"band", "tail"}), "n_balls": 5, "cause":
+        "checks": frozenset({"band", "tail"}), "n_balls": 5,
+        # explains a TAIL-DRIVEN excursion (early steps inside the band, a
+        # real tail-window spike): a uniform whole-horizon band shift with
+        # a clean tail must not inherit it
+        "signature": lambda st: (2 / 3 <= st["head_geo"] <= 1.5
+                                 and st["tail_worst"] > 3.0),
+        "cause":
         "the `tail` violation (group-mean per-step ratio spiking 3-33x at "
         "steps 11-16) — and the `band` violation it induces (the 16-step "
         "geomean 2.21 is entirely tail-driven: steps 1-10 have geomean "
@@ -342,8 +359,17 @@ def write_report(cfg, groups, fig_paths, wallclocks):
         failed = [c for c, v in checks.items() if not v]
         entry = ROOT_CAUSES.get((cfg.dataset, model))
         cause = None
+        head = max(1, int(0.6 * k))
+        sig_stats = {
+            "geo": geo,
+            "head_geo": float(np.exp(lratio[:head].mean())),
+            "tail_worst": max(
+                float(np.exp(lratio[i:i + 4].mean()))
+                for i in range(max(1, k - 3))),
+        }
         if entry is not None and set(failed) <= entry["checks"] \
-                and cfg.n_balls == entry["n_balls"]:
+                and cfg.n_balls == entry["n_balls"] \
+                and entry["signature"](sig_stats):
             cause = entry["cause"]
         if ok:
             verdict = "PARITY"

@@ -27,20 +27,20 @@ def main():
     groups = load_ledger_groups(args.outf)
 
     print("| model | dataset | N | inputs | varDT | best val (mean±std) | "
-          "finite frac | loss (finite, median) | loss@16 (median) | "
-          "finite@16 |")
+          "finite frac | loss (finite, median) | loss@20f (median) | "
+          "finite@20f |")
     print("|---|---|---|---|---|---|---|---|---|---|")
     for key in sorted(groups):
         g = groups[key]
         ffs = np.array([x["ff"] for x in g], dtype=float)
         tlfs = np.array([x["tlf"] for x in g], dtype=float)
-        h16s = np.array([x["h16"] for x in g], dtype=float)
-        ff16s = np.array([x["ff16"] for x in g], dtype=float)
+        h20s = np.array([x["h20"] for x in g], dtype=float)
+        ff20s = np.array([x["ff20"] for x in g], dtype=float)
         m, dataset, n, ni, vdt = key
         print(f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
               f"| {mean_std([x['val'] for x in g])} "
               f"| {np.nanmean(ffs):.2f} | {np.nanmedian(tlfs):.3g} "
-              f"| {np.nanmedian(h16s):.3g} | {np.nanmean(ff16s):.2f} |")
+              f"| {np.nanmedian(h20s):.3g} | {np.nanmean(ff20s):.2f} |")
 
 
 if __name__ == "__main__":

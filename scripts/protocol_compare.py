@@ -6,7 +6,8 @@ grids truncated at 300 epochs; the round-3 rerun (results/{base_ref,pro_ref})
 restores the reference protocol. This script emits the side-by-side section
 for RESULTS.md: per group, best-val mean+-std under both protocols, the
 median best_epoch under the reference protocol (how many cells actually
-needed >300 epochs), and the loss@16 headline under the reference protocol.
+needed >300 epochs), and the loss@20-frames headline under the reference
+protocol.
 
 Usage:
   python scripts/protocol_compare.py --short results/base --ref results/base_ref
@@ -36,7 +37,7 @@ def main():
 
     print("| model | dataset | N | inputs | varDT | best val «300ep» | "
           "best val «ref» | Δ | best_epoch «ref» (med [min-max]) | "
-          "loss@16 «ref» (med) | finite@16 |")
+          "loss@20f «ref» (med) | finite@20f |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
     n_late = n_cells = 0
     for key in keys:
@@ -45,8 +46,8 @@ def main():
         m, dataset, n, ni, vdt = key
         vals_ref = np.array([x["val"] for x in g_ref], dtype=float)
         epochs = np.array([x["best_epoch"] for x in g_ref], dtype=float)
-        h16s = np.array([x["h16"] for x in g_ref], dtype=float)
-        ff16s = np.array([x["ff16"] for x in g_ref], dtype=float)
+        h20s = np.array([x["h20"] for x in g_ref], dtype=float)
+        ff20s = np.array([x["ff20"] for x in g_ref], dtype=float)
         n_late += int((epochs >= 300).sum())
         n_cells += len(epochs)
         delta = ""
@@ -58,7 +59,7 @@ def main():
               f"| {mean_std(vals_ref)} | {delta} "
               f"| {int(np.median(epochs))} [{int(epochs.min())}-"
               f"{int(epochs.max())}] "
-              f"| {np.nanmedian(h16s):.3g} | {np.nanmean(ff16s):.2f} |")
+              f"| {np.nanmedian(h20s):.3g} | {np.nanmean(ff20s):.2f} |")
     print(f"\n{n_late}/{n_cells} reference-protocol cells reached their best "
           f"validation at epoch ≥ 300, i.e. were structurally unconverged "
           f"under the 300-epoch truncation.")

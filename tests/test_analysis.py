@@ -87,13 +87,32 @@ class TestAnalysis:
         companion excludes samples that blow up INSIDE the horizon."""
         targets = np.zeros((4, 30, 5, 3))
         preds = np.ones((4, 20, 5, 3))
-        preds[:, 16:] = 1e12          # diverges only beyond step 16
+        preds[:, 16:] = 1e12          # diverges only beyond frame 16
         preds[3, 5:] = np.inf         # sample 3 diverges inside the horizon
         loss, loss_f, ff = short_horizon_loss(
-            {"targets": targets, "preds": preds}, h=16)
+            {"targets": targets, "preds": preds}, h_frames=16)
         assert not np.isfinite(loss)      # all-sample loss sees the inf
         assert np.isclose(loss_f, 1.0)    # finite samples: (1-0)^2
-        assert np.isclose(ff, 0.75)
+        assert np.isclose(ff, 0.75)       # 3 of 4 samples finite inside h
+
+    def test_short_horizon_loss_frames_per_entry(self):
+        """The horizon is PHYSICAL frames: a per-window artifact (SEGNO
+        logs one entry per num_timesteps=10-frame window) takes only the
+        entries whose frame index fits inside h_frames — 2 entries at the
+        default 20-frame horizon — so the column is comparable with EGNO's
+        per-frame artifacts instead of silently spanning 10x the horizon."""
+        targets = np.zeros((4, 20, 5, 3))
+        preds = np.ones((4, 20, 5, 3))
+        preds[:, 2:] = 1e12           # windows 3+ (frames 30+) diverge
+        loss, loss_f, ff = short_horizon_loss(
+            {"targets": targets, "preds": preds}, frames_per_entry=10)
+        assert np.isclose(loss, 1.0)      # only frames 10,20 inside horizon
+        assert np.isclose(ff, 1.0)
+        # per-frame artifact at the same default horizon: 20 entries
+        loss2, _, _ = short_horizon_loss(
+            {"targets": targets[:, :1].repeat(20, 1),
+             "preds": np.full((4, 20, 5, 3), 2.0)})
+        assert np.isclose(loss2, 4.0)
 
     def test_latex_table(self):
         t = latex_table([("egno charged-5", 0.0123, 0.002)])
