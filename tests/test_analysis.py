@@ -280,6 +280,43 @@ class TestArtifactStem:
             assert m and m.group("seed") == "7" and m.group("n_balls") == "20"
 
 
+class TestLedgerStride:
+    """load_ledger_groups passes the per-model artifact stride to
+    short_horizon_loss: EGNO artifacts log per FRAME, SEGNO per
+    num_timesteps=10-frame WINDOW, so the h20 column must take 20 EGNO
+    entries but only 2 SEGNO entries (regression: both models were sliced
+    at 16 entries = a 10x longer physical horizon for SEGNO)."""
+
+    def test_per_model_frames_per_entry(self, tmp_path):
+        from nonode_tpu.analysis.ledger import load_ledger_groups
+        from nonode_tpu.analysis.registry import artifact_stem
+
+        art_dir = tmp_path / "_exp_new"
+        art_dir.mkdir(parents=True)
+        with open(tmp_path / "sweep_TEST.jsonl", "w") as f:
+            for model in ("egno", "segno"):
+                cfg = {"exp_name": "_exp_new", "dataset": "charged",
+                       "model": model, "n_balls": 5, "num_inputs": 1,
+                       "varDT": False, "seed": 1}
+                f.write(json.dumps({
+                    "config_id": model, "config": cfg, "test_loss": 1.0,
+                    "best_val_loss": 0.01, "best_epoch": 5}) + "\n")
+                targets = np.zeros((4, 20, 5, 3), np.float32)
+                preds = np.ones((4, 20, 5, 3), np.float32)
+                preds[:, 2:] = 100.0  # accurate only in the first 2 entries
+                stem = artifact_stem(model, "charged", 1, 5)
+                np.savez(art_dir / f"{stem}_results.npz",
+                         targets=targets, preds=preds, test_loss=1.0)
+
+        groups = load_ledger_groups(tmp_path)
+        egno = groups[("egno", "charged", 5, 1, False)][0]
+        segno = groups[("segno", "charged", 5, 1, False)][0]
+        # SEGNO: 2 windows (frames 10, 20) inside the 20-frame horizon
+        assert np.isclose(segno["h20"], 1.0)
+        # EGNO: 20 per-frame entries, 18 of them diverged
+        assert egno["h20"] > 1000
+
+
 class TestProtocolCompare:
     """scripts/protocol_compare.py — the «300ep vs ref-protocol» join."""
 
