@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .analysis.registry import artifact_stem
 from .config import load_model_config
 from .runtime import bootstrap
 
@@ -198,7 +199,6 @@ def main(args):
     records = []
     for i, seed in enumerate(seeds):
         p_i = jax.tree.map(lambda a: a[i], best_params)
-        from nonode_tpu.analysis.registry import artifact_stem
         stem = artifact_stem(args.model, args.dataset, seed, args.n_balls,
                              num_timesteps=args.num_timesteps)
         save_params(out_dir / f"{stem}.ckpt", p_i)

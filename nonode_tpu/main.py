@@ -117,10 +117,14 @@ def main(args):
     over = getattr(args, "_cfg_overrides", None)
     if over:
         # JSON preset hyperparameters override the YAML config, as in the
-        # reference standalone driver where they override parser defaults
+        # reference standalone driver where they override parser defaults.
+        # Filter to this model's config fields (like load_model_config does):
+        # EGNO-only keys such as time_emb_dim/num_modes in a preset must not
+        # crash a --model segno run.
+        fields = {f.name for f in dataclasses.fields(cfg)}
         cfg = dataclasses.replace(cfg, **{
             k: (float(v) if k in ("lr", "weight_decay") else v)
-            for k, v in over.items()})
+            for k, v in over.items() if k in fields})
     print(args)
     seed = args.seed
     random.seed(seed)

@@ -17,7 +17,9 @@ def _pct(x):
 
 
 def main():
-    path = Path(sys.argv[1] if len(sys.argv) > 1 else "results/bench_full.json")
+    repo = Path(__file__).resolve().parent.parent
+    path = Path(sys.argv[1]) if len(sys.argv) > 1 else (
+        repo / "results" / "bench_full.json")
     rows = json.loads(path.read_text())
     by_metric = {r["metric"]: r for r in rows}
 

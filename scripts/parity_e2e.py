@@ -129,7 +129,8 @@ def stem(model, seed, cfg):
 
 
 def common_argv(cfg, seed, outf):
-    return ["--dataset", cfg.dataset, "--data_dir", str(cfg.data_dir),
+    return ["--dataset", cfg.dataset, "--n_balls", str(cfg.n_balls),
+            "--data_dir", str(cfg.data_dir),
             "--epochs", str(cfg.epochs), "--test_interval", "5",
             "--batch_size", str(cfg.batch_size),
             "--max_samples", str(cfg.max_samples),
@@ -414,7 +415,7 @@ def write_report(cfg, groups, fig_paths, wallclocks):
     ]
     note = load_wallclocks(cfg).get("_note")
     if note:
-        lines[-3:-3] = [note, ""]
+        lines[-3:-3] = ["", note]
     for k_, v in wallclocks.items():
         lines.append(f"| {k_} | {v:.0f} |" if v is not None
                      else f"| {k_} | n/a (pre-sidecar run) |")
@@ -515,8 +516,7 @@ def main():
                   for key in [f"{side} {model} seed{s}"
                               for s in seeds_for(cfg, model, side)]}
 
-    from nonode_tpu.analysis.results import (analyze_group,
-                                             plot_multiple_curves)
+    from nonode_tpu.analysis.results import plot_multiple_curves
     groups = {k: summarize(v) for k, v in arts.items()}
 
     figdir = REPO / "docs" / "figures"

@@ -57,7 +57,7 @@ def build_exp():
     from nonode_tpu.models.egno import EGNO
     from nonode_tpu.train.loop import EGNOExperiment
 
-    cfg = load_model_config("egno", "model_confs.yaml")
+    cfg = load_model_config("egno", REPO / "model_confs.yaml")
     model = EGNO(n_layers=cfg.n_layers, in_node_nf=cfg.in_node_nf,
                  in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
                  num_modes=cfg.num_modes, num_timesteps=cfg.num_timesteps,
