@@ -1,0 +1,53 @@
+"""Pin the thin script-layer glue that the package tests don't reach.
+
+The parity anchor (scripts/parity_e2e.py) builds one shared argv for the
+reference driver (/root/reference/main.py:37-60) and nonode_tpu.main; a
+config knob recorded in anchor_config.json but not forwarded there would
+silently train both sides at the flag's default while the report header
+claims otherwise.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_parity_e2e():
+    spec = importlib.util.spec_from_file_location(
+        "_parity_e2e_under_test", REPO / "scripts" / "parity_e2e.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestCommonArgv:
+    def test_forwards_every_training_knob(self):
+        """Each anchor knob that changes training must reach both drivers."""
+        mod = _load_parity_e2e()
+        cfg = SimpleNamespace(dataset="gravity", n_balls=10, epochs=7,
+                              batch_size=25, max_samples=123, traj_len=3,
+                              data_dir=Path("/tmp/anchor/data"))
+        argv = mod.common_argv(cfg, seed=9, outf=Path("/tmp/anchor/out"))
+        got = dict(zip(argv[::2], argv[1::2]))
+        assert got == {
+            "--dataset": "gravity", "--n_balls": "10",
+            "--data_dir": "/tmp/anchor/data", "--epochs": "7",
+            "--test_interval": "5", "--batch_size": "25",
+            "--max_samples": "123", "--traj_len": "3", "--seed": "9",
+            "--outf": "/tmp/anchor/out"}
+
+    def test_both_drivers_accept_the_argv(self):
+        """The shared argv must parse on the nonode_tpu side (the reference
+        parser's flags are pinned at /root/reference/main.py:37-60)."""
+        mod = _load_parity_e2e()
+        cfg = SimpleNamespace(dataset="charged", n_balls=5, epochs=2,
+                              batch_size=10, max_samples=50, traj_len=2,
+                              data_dir=Path("/tmp/d"))
+        argv = mod.common_argv(cfg, seed=1, outf=Path("/tmp/o"))
+        from nonode_tpu.main import get_args
+        args = get_args(["--model", "segno"] + argv)
+        assert args.n_balls == 5 and args.dataset == "charged"
