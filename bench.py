@@ -75,14 +75,16 @@ def timeit(fn, reps):
 FP32_HIGHEST_PASSES = 6  # fp32 HIGHEST matmul = multi-pass bf16 on the MXU
 
 
-def _egno_setup(b=256, n=5, t=10, s=2048, remat=False, hidden=64):
+def _egno_setup(b=256, n=5, t=10, s=2048, remat=False, hidden=64,
+                compute_dtype=None):
     from nonode_tpu.models.egno import EGNO
     from nonode_tpu.train.loop import EGNOExperiment, make_perm
 
     rng = np.random.RandomState(0)
     model = EGNO(n_layers=4, hidden_nf=hidden, num_timesteps=t,
                  time_emb_dim=32, num_modes=2)
-    exp = EGNOExperiment(model, lr=1e-4, weight_decay=1e-8, remat=remat)
+    exp = EGNOExperiment(model, lr=1e-4, weight_decay=1e-8, remat=remat,
+                         compute_dtype=compute_dtype)
     params, opt_state = exp.init(jax.random.PRNGKey(0))
 
     n_frames = 60
@@ -171,7 +173,14 @@ def bench_compute_bound():
             # width scaling: canonical N=5 graph at 4x hidden — MFU should
             # rise with matmul width even at small N
             ("charged5_h256_B512", dict(b=512, n=5, s=1024, hidden=256,
-                                        remat=True), 10)):
+                                        remat=True), 10),
+            # opt-in bf16 speed mode (--precision bf16): single-pass MXU
+            # matmuls; MFU vs the bf16 peak is the honest number here
+            ("charged20_B512_bf16", dict(b=512, n=20, s=1024, remat=True,
+                                         compute_dtype=jnp.bfloat16), 10),
+            ("charged5_h256_B512_bf16", dict(b=512, n=5, s=1024, hidden=256,
+                                             remat=True,
+                                             compute_dtype=jnp.bfloat16), 10)):
         try:
             exp, params, opt_state, arrays, idx_arrays, perm = \
                 _egno_setup(**kw)
@@ -188,7 +197,8 @@ def bench_compute_bound():
                                   if peak and flops_step else None),
                 "mfu_fp32_highest_peak": (
                     round(flops_step / dt / (peak / FP32_HIGHEST_PASSES), 5)
-                    if peak and flops_step else None),
+                    if peak and flops_step
+                    and not kw.get("compute_dtype") else None),
                 "device": kind,
             }
         except Exception as e:

@@ -23,6 +23,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .config import load_model_config
@@ -72,6 +73,12 @@ def get_args(argv=None):
     parser.add_argument("--varDT", type=str2bool, default=False)
     parser.add_argument("--num_inputs", type=int, default=1)
     parser.add_argument("--use_wb", type=str2bool, default=False)
+    parser.add_argument("--precision", type=str, default="fp32",
+                        choices=["fp32", "bf16"],
+                        help="fp32 (default): fp32 params + HIGHEST-precision "
+                        "matmuls, the physics-parity mode. bf16: opt-in speed "
+                        "mode — fp32 master weights/Adam state, fwd/bwd cast "
+                        "to bfloat16 (native single-pass MXU), fp32 loss.")
     parser.add_argument("--dp", type=int, default=1,
                         help="Data-parallel mesh size (batch axis sharding).")
     parser.add_argument("--space", type=int, default=1,
@@ -156,6 +163,8 @@ def main(args):
 
     ds_kw = dict(data_dir=args.data_dir, dataset=args.dataset,
                  n_balls=args.n_balls, num_timesteps=args.num_timesteps)
+    compute_dtype = (jnp.bfloat16
+                     if getattr(args, "precision", "fp32") == "bf16" else None)
 
     if args.model == "segno":
         ds_train = NBodyDataset(partition="train", max_samples=args.max_samples,
@@ -168,7 +177,8 @@ def main(args):
                       recurrent=cfg.recurrent, tanh=cfg.tanh, varDT=args.varDT,
                       multiple_agg="attn" if args.num_inputs > 1 else None)
         exp = SEGNOExperiment(model, num_timesteps=args.num_timesteps,
-                              lr=cfg.lr, weight_decay=cfg.weight_decay)
+                              lr=cfg.lr, weight_decay=cfg.weight_decay,
+                              compute_dtype=compute_dtype)
     else:
         # EGNO forces varDT off for single input (main.py:121)
         args.varDT = bool(args.varDT and args.num_inputs > 1)
@@ -186,7 +196,8 @@ def main(args):
                      time_emb_dim=cfg.time_emb_dim, num_inputs=args.num_inputs,
                      varDT=args.varDT, with_v=cfg.with_v, flat=cfg.flat,
                      norm=cfg.norm)
-        exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay)
+        exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
+                             compute_dtype=compute_dtype)
 
     print(f"Num particles: {args.n_balls}, VarDT: {args.varDT}, "
           f"Num inputs: {args.num_inputs}, "

@@ -114,7 +114,10 @@ class SEGNO:
         not). Enables per-batch varDT segment lengths inside one jitted
         epoch program (the reference resamples per batch,
         SEGNO/train_nbody.py:100)."""
-        inv = 1.0 / steps.astype(jnp.float32)
+        # reciprocal in fp32, then adopt the compute dtype: a weak-typed
+        # Python float would be exact here too, but steps is traced — an
+        # fp32 array would silently promote a bf16 carry out of the scan
+        inv = (1.0 / steps.astype(jnp.float32)).astype(x.dtype)
 
         def body(carry, i):
             h, x, v = carry

@@ -346,6 +346,9 @@ class SEGNOExperiment:
     num_timesteps: int = 10
     lr: float = 5e-3
     weight_decay: float = 1e-12
+    compute_dtype: Any = None        # see EGNOExperiment.compute_dtype:
+    #                                  fp32 master weights + Adam state,
+    #                                  fwd/bwd in e.g. bf16, fp32 loss
     mesh: Any = None                 # see EGNOExperiment.mesh
     shard_particles: bool = False
 
@@ -446,9 +449,13 @@ class SEGNOExperiment:
 
     def _loss(self, params, batch, in_steps):
         loc_in, vel_in, charges, w, loc_end = batch
+        if self.compute_dtype is not None:
+            cast = lambda a: a.astype(self.compute_dtype)
+            params = jax.tree.map(cast, params)
+            loc_in, vel_in, charges, w = map(cast, (loc_in, vel_in, charges, w))
         his, edge_attr = self._features(loc_in, vel_in, charges, w)
         x, _, _ = self._forward(params, his, loc_in, vel_in, edge_attr, in_steps)
-        return ((x - loc_end) ** 2).mean()
+        return ((x.astype(jnp.float32) - loc_end) ** 2).mean()
 
     @functools.partial(jax.jit, static_argnums=(0, 5, 6), donate_argnums=(1, 2))
     def train_epoch(self, params, opt_state, ds_arrays, perm, frames, in_steps):
@@ -500,11 +507,15 @@ class SEGNOExperiment:
 
     def _loss_dynamic(self, params, batch, seg_lens, max_interior):
         loc_in, vel_in, charges, w, loc_end = batch
+        if self.compute_dtype is not None:
+            cast = lambda a: a.astype(self.compute_dtype)
+            params = jax.tree.map(cast, params)
+            loc_in, vel_in, charges, w = map(cast, (loc_in, vel_in, charges, w))
         his, edge_attr = self._features(loc_in, vel_in, charges, w)
         x, _, _ = self.model.forward_dynamic(
             params, his, loc_in, vel_in, edge_attr, seg_lens,
             T=self.num_timesteps, max_interior=max_interior)
-        return ((x - loc_end) ** 2).mean()
+        return ((x.astype(jnp.float32) - loc_end) ** 2).mean()
 
     @functools.partial(jax.jit, static_argnums=(0, 6),
                        donate_argnums=(1, 2))

@@ -130,6 +130,19 @@ class TestMeshDriver:
         np.testing.assert_allclose(dp[1], ref[1], rtol=2e-4)
 
     @pytest.mark.parametrize("model", ["egno", "segno"])
+    def test_precision_bf16_flag(self, tiny_data, tmp_path, model):
+        """--precision bf16 (the opt-in speed mode) trains end to end and
+        produces finite losses close to the fp32 run at these tiny scales
+        (same data/seed; bf16 only changes fwd/bwd rounding)."""
+        ref = run_driver(tiny_data, tmp_path / "fp32", model)
+        bf = run_driver(tiny_data, tmp_path / "bf16", model,
+                        extra=["--precision", "bf16"])
+        assert np.isfinite(bf[0]) and np.isfinite(bf[1])
+        # 2-epoch losses start near init; bf16 rounding moves them by a
+        # few percent at most, not orders of magnitude
+        np.testing.assert_allclose(bf[0], ref[0], rtol=0.2)
+
+    @pytest.mark.parametrize("model", ["egno", "segno"])
     def test_fleet_driver_with_compaction(self, tiny_data, tmp_path, model):
         """fleet_main end to end for both models: patience=1 forces early
         stops mid-run, exercising fleet compaction; per-seed artifacts and

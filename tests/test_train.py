@@ -130,6 +130,31 @@ class TestSEGNOTraining:
             last = loss
         assert last < first * 0.8, f"no learning: {first} -> {last}"
 
+    def test_bf16_compute_mode_traces(self, charged_ds):
+        """SEGNO's opt-in bf16 speed mode (fp32 master weights, bf16
+        fwd/bwd, fp32 loss) must trace+step on BOTH epoch programs: the
+        static path and the per-batch varDT dynamic path."""
+        ds = NBodyDataset(data_dir=charged_ds, partition="train",
+                          num_timesteps=6, num_inputs=2)
+        model = SEGNO(hidden_nf=16, n_layers=4, multiple_agg="attn")
+        exp = SEGNOExperiment(model, num_timesteps=6, lr=5e-3,
+                              compute_dtype=jnp.bfloat16)
+        params, opt_state = exp.init(jax.random.PRNGKey(0))
+        arrays = (ds.loc, ds.vel, ds.charges, ds.edge_weights)
+        rng = np.random.RandomState(0)
+        perm = make_perm(rng, len(ds), 8)
+        frames, in_steps, _ = exp.input_frames(ds, (3,))
+        params, opt_state, losses = exp.train_epoch(
+            params, opt_state, arrays, perm, frames, in_steps)
+        assert np.isfinite(np.asarray(losses)).all()
+        assert jax.tree.leaves(params)[0].dtype == jnp.float32  # master fp32
+
+        steps = exp.sample_steps_batched(ds, rng, True, len(perm))
+        frames_d = jnp.asarray(exp.frames_from_steps(ds, steps))
+        params, opt_state, losses = exp.train_epoch_dynamic(
+            params, opt_state, arrays, perm, frames_d, exp.max_interior(ds))
+        assert np.isfinite(np.asarray(losses)).all()
+
     def test_rollout(self, charged_ds):
         ds = NBodyDataset(data_dir=charged_ds, partition="train",
                           num_timesteps=4, traj_len=3)
