@@ -36,8 +36,9 @@ for n in 10 20; do
   gen gravity $n
 done
 
-echo "=== BASE grid @ reference protocol ==="
+echo "=== BASE grid @ reference protocol (gravity/egno/20 first) ==="
 python -m nonode_tpu.parallel.sweep --grid BASE --use_fleet \
+  --schedule scripts/base_ref_schedule_r3.yaml \
   --data_dir data --outf results/base_ref --epochs 1000 --batch_size 256
 
 echo "=== done ==="

@@ -256,6 +256,25 @@ class TestSweep:
         ids = {config_id(c) for c in cfgs}
         assert len(ids) == len(cfgs)
 
+    def test_r3_reordered_schedule_covers_base_grid(self):
+        """scripts/base_ref_schedule_r3.yaml only re-ORDERS the BASE grid
+        (gravity/egno/20 first); its config_id set must equal the built-in
+        grid's exactly, or the resume ledger would silently skip/duplicate
+        cells."""
+        from pathlib import Path
+
+        from nonode_tpu.parallel.sweep import load_schedule
+        repo = Path(__file__).resolve().parents[1]
+        spec = load_schedule(str(repo / "scripts/base_ref_schedule_r3.yaml"),
+                             "BASE")
+        reordered = expand_grid(spec)
+        builtin = expand_grid(DEFAULT_SCHEDULE["BASE"])
+        assert ({config_id(c) for c in reordered}
+                == {config_id(c) for c in builtin})
+        first = reordered[0]
+        assert (first["dataset"], first["model"], first["n_balls"]) == \
+            ("gravity", "egno", 20)
+
     def test_summarize_groups_by_seed(self):
         results = [
             {"config": {"model": "egno", "seed": 1}, "test_loss": 0.1},
