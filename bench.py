@@ -105,19 +105,25 @@ def _egno_setup(b=256, n=5, t=10, s=2048, remat=False, hidden=64,
     return exp, params, opt_state, arrays, idx_arrays, perm
 
 
-def _measure_epoch(exp, params, opt_state, arrays, idx_arrays, perm, reps):
-    """(seconds/step, XLA-counted flops/step) for the whole-epoch program.
+def _measure_epoch_program(exp, params, opt_state, tail_one_batch, tail_full,
+                           num_batches, reps):
+    """(seconds/step, XLA-counted flops/step) for a whole-epoch program.
 
-    FLOPs are counted by lowering a ONE-batch epoch: HloCostAnalysis counts
-    a while/scan BODY once regardless of trip count (verified empirically:
-    scan(8 matmuls) reports the same 'flops' as 1 matmul), so lowering the
-    full-epoch program and dividing by num_batches would undercount by
-    ~num_batches. A length-1 scan makes body == one training step exactly.
+    Shared by the EGNO and SEGNO rows so the FLOP methodology cannot
+    diverge between them. ``tail_*`` are the positional args to
+    ``train_epoch`` after (params, opt_state); ``tail_one_batch`` must
+    describe a ONE-batch epoch (``perm[:1]``).
+
+    FLOPs are counted by lowering the one-batch epoch: HloCostAnalysis
+    counts a while/scan BODY once regardless of trip count (verified
+    empirically: scan(8 matmuls) reports the same 'flops' as 1 matmul), so
+    lowering the full-epoch program and dividing by num_batches would
+    undercount by ~num_batches. A length-1 scan makes body == exactly one
+    training step.
     """
-    nb = perm.shape[0]
     try:
         cost = type(exp).train_epoch.lower(
-            exp, params, opt_state, arrays, idx_arrays, perm[:1]).compile() \
+            exp, params, opt_state, *tail_one_batch).compile() \
             .cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
@@ -128,12 +134,19 @@ def _measure_epoch(exp, params, opt_state, arrays, idx_arrays, perm, reps):
     state = [params, opt_state]
 
     def one_epoch():
-        state[0], state[1], losses, _ = exp.train_epoch(
-            state[0], state[1], arrays, idx_arrays, perm)
-        return losses
+        out = exp.train_epoch(state[0], state[1], *tail_full)
+        state[0], state[1] = out[0], out[1]
+        return out[2]  # per-batch losses — the host transfer timeit syncs on
 
-    dt = timeit(one_epoch, reps=reps) / nb
+    dt = timeit(one_epoch, reps=reps) / num_batches
     return dt, flops_step
+
+
+def _measure_epoch(exp, params, opt_state, arrays, idx_arrays, perm, reps):
+    """EGNO-program wrapper over _measure_epoch_program."""
+    return _measure_epoch_program(
+        exp, params, opt_state, (arrays, idx_arrays, perm[:1]),
+        (arrays, idx_arrays, perm), perm.shape[0], reps)
 
 
 def bench_egno_step(b=256):
@@ -242,26 +255,9 @@ def bench_segno_step(b=256, s=2048, reps=40):
     perm = make_perm(np.random.RandomState(0), s, b)
     nb = perm.shape[0]
 
-    try:
-        # length-1 scan: HloCostAnalysis counts the scan body once (see
-        # _measure_epoch), so a one-batch epoch IS one step's flops
-        cost = type(exp).train_epoch.lower(
-            exp, params, opt_state, arrays, perm[:1], frames, in_steps) \
-            .compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_step = float(cost.get("flops", 0.0))
-    except Exception:
-        flops_step = 0.0
-
-    state = [params, opt_state]
-
-    def one_epoch():
-        state[0], state[1], losses = exp.train_epoch(
-            state[0], state[1], arrays, perm, frames, in_steps)
-        return losses
-
-    dt = timeit(one_epoch, reps=reps) / nb
+    dt, flops_step = _measure_epoch_program(
+        exp, params, opt_state, (arrays, perm[:1], frames, in_steps),
+        (arrays, perm, frames, in_steps), nb, reps)
     peak, kind = _peak_flops()
     return {"metric": "segno_train_throughput", "value": round(b / dt, 1),
             "unit": "samples/s", "step_ms": round(dt * 1e3, 4),

@@ -37,8 +37,15 @@ def load_ledger_groups(outf) -> dict:
     groups = defaultdict(list)
     for r in recs:
         c = r["config"]
+        # forward any non-default windowing the grid swept: the stem must
+        # match the file the driver wrote, and the SEGNO window stride is
+        # num_timesteps (a stale default here means silent-NaN companions
+        # or a wrong physical horizon)
+        num_timesteps = int(c.get("num_timesteps", 10))
         stem = artifact_stem(c["model"], c["dataset"], c["seed"],
-                             c["n_balls"], c["num_inputs"], varDT=c["varDT"])
+                             c["n_balls"], c["num_inputs"],
+                             dT=int(c.get("dT", 1)), varDT=c["varDT"],
+                             num_timesteps=num_timesteps)
         art = outf / c.get("exp_name", "_exp_new") / (stem + "_results.npz")
         ff = tlf = h20 = ff20 = float("nan")
         if art.exists():
@@ -48,9 +55,9 @@ def load_ledger_groups(outf) -> dict:
             if "test_loss_finite" in d.files:
                 tlf = float(d["test_loss_finite"])
             # EGNO artifacts log one entry per FRAME, SEGNO one entry per
-            # num_timesteps-frame WINDOW (canonical T=10, encoded in the
-            # artifact stem) — a frame-based horizon needs the stride
-            fpe = 1 if c["model"] == "egno" else 10
+            # num_timesteps-frame WINDOW (encoded in the artifact stem) —
+            # a frame-based horizon needs the stride
+            fpe = 1 if c["model"] == "egno" else num_timesteps
             h20, _, ff20 = short_horizon_loss(d, frames_per_entry=fpe)
         key = (c["model"], c["dataset"], c["n_balls"], c["num_inputs"],
                bool(c["varDT"]))

@@ -42,7 +42,9 @@ def main():
           "MFU vs bf16 peak | MFU vs fp32-HIGHEST peak |")
     print("|---|---|---|---|---|---|")
     order = ["egno_train_throughput", "roofline_egno_charged20_B512",
-             "roofline_egno_gravity100_B64", "roofline_egno_charged5_h256_B512"]
+             "roofline_egno_gravity100_B64", "roofline_egno_charged5_h256_B512",
+             "roofline_egno_charged20_B512_bf16",
+             "roofline_egno_charged5_h256_B512_bf16"]
     for m in order:
         r = by_metric.get(m)
         if r is None:

@@ -149,6 +149,7 @@ def direction_b(cfg_args, exp):
             torch.save(sd, scratch / "0exp_new" / f"{s}.pth")
             run_reference([
                 "--model", "egno", "--dataset", cfg_args.dataset,
+                "--n_balls", str(cfg_args.n_balls),
                 "--data_dir", str(cfg_args.workdir / "data"),
                 "--epochs", "0", "--batch_size", str(cfg_args.batch_size),
                 "--max_samples", str(cfg_args.max_samples),

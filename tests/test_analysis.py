@@ -335,6 +335,35 @@ class TestLedgerStride:
         # EGNO: 20 per-frame entries, 18 of them diverged
         assert egno["h20"] > 1000
 
+    def test_non_default_windowing_forwarded(self, tmp_path):
+        """A grid that sweeps num_timesteps/dT must still find its artifacts
+        (the stem encodes them) and use the swept SEGNO window stride —
+        a stale default meant silent-NaN companions."""
+        from nonode_tpu.analysis.ledger import load_ledger_groups
+        from nonode_tpu.analysis.registry import artifact_stem
+
+        art_dir = tmp_path / "_exp_new"
+        art_dir.mkdir(parents=True)
+        cfg = {"exp_name": "_exp_new", "dataset": "charged",
+               "model": "segno", "n_balls": 5, "num_inputs": 1,
+               "varDT": False, "seed": 1, "num_timesteps": 5, "dT": 2}
+        with open(tmp_path / "sweep_TEST.jsonl", "w") as f:
+            f.write(json.dumps({
+                "config_id": "t5", "config": cfg, "test_loss": 1.0,
+                "best_val_loss": 0.01, "best_epoch": 5}) + "\n")
+        targets = np.zeros((4, 8, 5, 3), np.float32)
+        preds = np.ones((4, 8, 5, 3), np.float32)
+        preds[:, 4:] = 100.0  # accurate only in the first 4 entries
+        stem = artifact_stem("segno", "charged", 1, 5, dT=2, num_timesteps=5)
+        np.savez(art_dir / f"{stem}_results.npz",
+                 targets=targets, preds=preds, test_loss=1.0)
+
+        rec = load_ledger_groups(tmp_path)[("segno", "charged", 5, 1,
+                                            False)][0]
+        # artifact found (not NaN) and stride = num_timesteps=5: the
+        # 20-frame horizon takes 4 windows, all in the accurate region
+        assert np.isclose(rec["h20"], 1.0)
+
 
 class TestProtocolCompare:
     """scripts/protocol_compare.py — the «300ep vs ref-protocol» join."""
