@@ -50,15 +50,27 @@ def main():
         ff20s = np.array([x["ff20"] for x in g_ref], dtype=float)
         n_late += int((epochs >= 300).sum())
         n_cells += len(epochs)
+        # Under reference-faithful NaN semantics (EGNO/utils.py:261-268: a
+        # NaN val lands in the improvement branch, overwrites the
+        # checkpoint, and never early-stops) a destabilized seed ends the
+        # protocol with best_val = NaN and best_epoch = last epoch. Report
+        # the group as finite-seed stats + an explicit NaN-seed count
+        # rather than letting one NaN erase the group column.
+        fin = np.isfinite(vals_ref)
+        n_nan = int((~fin).sum())
+        val_txt = mean_std(vals_ref[fin]) if fin.any() else "NaN"
+        if n_nan:
+            val_txt += f" ({fin.sum()}/{len(fin)} fin)"
+        ep_fin = epochs[fin] if fin.any() else epochs
         delta = ""
-        if g_short:
+        if g_short and fin.any():
             vs = np.mean([x["val"] for x in g_short])
-            delta = f"{(np.mean(vals_ref) - vs) / vs * 100:+.0f}%"
+            delta = f"{(np.mean(vals_ref[fin]) - vs) / vs * 100:+.0f}%"
         print(f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
               f"| {mean_std([x['val'] for x in g_short]) if g_short else '—'} "
-              f"| {mean_std(vals_ref)} | {delta} "
-              f"| {int(np.median(epochs))} [{int(epochs.min())}-"
-              f"{int(epochs.max())}] "
+              f"| {val_txt} | {delta} "
+              f"| {int(np.median(ep_fin))} [{int(ep_fin.min())}-"
+              f"{int(ep_fin.max())}] "
               f"| {np.nanmedian(h20s):.3g} | {np.nanmean(ff20s):.2f} |")
     print(f"\n{n_late}/{n_cells} reference-protocol cells reached their best "
           f"validation at epoch ≥ 300, i.e. were structurally unconverged "

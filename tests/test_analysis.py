@@ -369,19 +369,21 @@ class TestProtocolCompare:
     """scripts/protocol_compare.py — the «300ep vs ref-protocol» join."""
 
     @staticmethod
-    def _write_outf(outf, best_val, best_epoch, seeds=(1, 2)):
+    def _write_outf(outf, best_val, best_epoch, seeds=(1, 2),
+                    per_seed=None):
         rng = np.random.RandomState(0)
         art_dir = outf / "_exp_new"
         art_dir.mkdir(parents=True)
         with open(outf / "sweep_TEST.jsonl", "w") as f:
             for s in seeds:
+                bv, be = (per_seed or {}).get(s, (best_val, best_epoch))
                 cfg = {"exp_name": "_exp_new", "dataset": "charged",
                        "model": "egno", "n_balls": 5, "num_inputs": 1,
                        "varDT": False, "seed": s}
                 f.write(json.dumps({
                     "config_id": f"seed={s}", "config": cfg,
-                    "test_loss": 1.0, "best_val_loss": best_val,
-                    "best_epoch": best_epoch}) + "\n")
+                    "test_loss": 1.0, "best_val_loss": bv,
+                    "best_epoch": be}) + "\n")
                 targets = rng.randn(4, 20, 5, 3).astype(np.float32)
                 stem = (f"EGNO_charged_seed={s}_n_part=5_n_inputs=1"
                         f"_dT_1_varDT=False_num_timesteps=10_results.npz")
@@ -407,6 +409,33 @@ class TestProtocolCompare:
         assert "-50%" in row                          # delta vs 300ep
         assert "950 [950-950]" in row                 # ref best_epoch spread
         assert "2/2 reference-protocol cells" in out  # unconverged tally
+
+    def test_nan_seed_reported_as_finite_stats_plus_count(self, tmp_path):
+        """A seed that destabilizes under the full protocol ends with
+        best_val = NaN (reference-faithful: NaN val lands in the
+        improvement branch of EGNO/utils.py:261-268 and never stops).
+        The group row must report finite-seed stats + an explicit NaN
+        count instead of collapsing to 'nan ± nan'."""
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        short, ref = tmp_path / "short", tmp_path / "ref"
+        self._write_outf(short, best_val=0.02, best_epoch=295)
+        self._write_outf(ref, best_val=None, best_epoch=None,
+                         per_seed={1: (0.01, 950),
+                                   2: (float("nan"), 999)})
+        script = Path(__file__).resolve().parent.parent / "scripts" \
+            / "protocol_compare.py"
+        out = subprocess.run(
+            [_sys.executable, str(script), "--short", str(short),
+             "--ref", str(ref)], capture_output=True, text=True, check=True,
+        ).stdout
+        row = [ln for ln in out.splitlines() if ln.startswith("| egno")][0]
+        assert "0.0100" in row and "(1/2 fin)" in row
+        assert "nan" not in row.split("(1/2 fin)")[0]  # no nan ± nan
+        assert "950 [950-950]" in row   # epochs over finite seeds only
+        assert "-50%" in row            # delta uses the finite-seed mean
 
 
 class _FakeStorage:
