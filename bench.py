@@ -182,6 +182,12 @@ def bench_compute_bound():
     rows = []
     for name, kw, reps in (
             ("charged20_B512", dict(b=512, n=20, s=1024, remat=True), 10),
+            # NB: B=64 at N=100 deterministically crashes this machine's
+            # remote tpu_compile_helper (HTTP 500, reproduced across chip
+            # restarts); the except-branch below retries at B=32, which
+            # compiles and runs fine — an axon-tunnel environment limit,
+            # not a program-size limit (the same program shape at B=32 is
+            # ~1.2 GB of live edge tensors under remat)
             ("gravity100_B64", dict(b=64, n=100, s=128, remat=True), 5),
             # width scaling: canonical N=5 graph at 4x hidden — MFU should
             # rise with matmul width even at small N
@@ -194,28 +200,40 @@ def bench_compute_bound():
             ("charged5_h256_B512_bf16", dict(b=512, n=5, s=1024, hidden=256,
                                              remat=True,
                                              compute_dtype=jnp.bfloat16), 10)):
-        try:
-            exp, params, opt_state, arrays, idx_arrays, perm = \
-                _egno_setup(**kw)
-            dt, flops_step = _measure_epoch(exp, params, opt_state, arrays,
-                                            idx_arrays, perm, reps=reps)
-            row = {
-                "metric": f"roofline_egno_{name}",
-                "value": round(kw["b"] / dt, 1),
-                "unit": "samples/s",
-                "step_ms": round(dt * 1e3, 3),
-                "flops_per_step": int(flops_step),
-                "achieved_tflops": round(flops_step / dt / 1e12, 3),
-                "mfu_bf16_peak": (round(flops_step / dt / peak, 5)
-                                  if peak and flops_step else None),
-                "mfu_fp32_highest_peak": (
-                    round(flops_step / dt / (peak / FP32_HIGHEST_PASSES), 5)
-                    if peak and flops_step
-                    and not kw.get("compute_dtype") else None),
-                "device": kind,
-            }
-        except Exception as e:
-            row = {"metric": f"roofline_egno_{name}", "error": str(e)[:200]}
+        attempts = [kw]
+        if kw["b"] > 32:   # remote-compile-crash fallback (see NB above)
+            attempts.append({**kw, "b": 32})
+        row = None
+        for att in attempts:
+            try:
+                exp, params, opt_state, arrays, idx_arrays, perm = \
+                    _egno_setup(**att)
+                dt, flops_step = _measure_epoch(exp, params, opt_state,
+                                                arrays, idx_arrays, perm,
+                                                reps=reps)
+                row = {
+                    "metric": f"roofline_egno_{name}",
+                    "value": round(att["b"] / dt, 1),
+                    "unit": "samples/s",
+                    "step_ms": round(dt * 1e3, 3),
+                    "flops_per_step": int(flops_step),
+                    "achieved_tflops": round(flops_step / dt / 1e12, 3),
+                    "mfu_bf16_peak": (round(flops_step / dt / peak, 5)
+                                      if peak and flops_step else None),
+                    "mfu_fp32_highest_peak": (
+                        round(flops_step / dt
+                              / (peak / FP32_HIGHEST_PASSES), 5)
+                        if peak and flops_step
+                        and not att.get("compute_dtype") else None),
+                    "device": kind,
+                }
+                if att["b"] != kw["b"]:
+                    row["note"] = (f"B={kw['b']} crashed the remote compile "
+                                   f"helper; measured at B={att['b']}")
+                break
+            except Exception as e:
+                row = {"metric": f"roofline_egno_{name}",
+                       "error": str(e)[:200]}
         rows.append(row)
     return rows
 

@@ -51,3 +51,44 @@ class TestCommonArgv:
         from nonode_tpu.main import get_args
         args = get_args(["--model", "segno"] + argv)
         assert args.n_balls == 5 and args.dataset == "charged"
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "_bench_under_test", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestRooflineCompileFallback:
+    """bench.py roofline rows: B=64 at N=100 deterministically crashes this
+    machine's remote tpu_compile_helper; the row must fall back to B=32 and
+    record the substitution instead of emitting an error row."""
+
+    def test_fallback_row_notes_the_substitution(self, monkeypatch):
+        mod = _load_bench()
+        calls = []
+
+        def fake_setup(**kw):
+            calls.append(kw)
+            if kw.get("n") == 100 and kw["b"] > 32:
+                raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+            return ("exp", "p", "o", "arrays", "idx", "perm")
+
+        monkeypatch.setattr(mod, "_egno_setup", fake_setup)
+        monkeypatch.setattr(
+            mod, "_measure_epoch",
+            lambda *a, reps=0: (0.1, 1e12))
+        monkeypatch.setattr(mod, "_peak_flops",
+                            lambda: (197e12, "fake-tpu"))
+        rows = {r["metric"]: r for r in mod.bench_compute_bound()}
+
+        g = rows["roofline_egno_gravity100_B64"]
+        assert "error" not in g
+        assert g["value"] == 320.0          # 32 / 0.1 — measured at B=32
+        assert "B=64" in g["note"] and "B=32" in g["note"]
+        # rows whose first attempt succeeds carry no substitution note
+        assert "note" not in rows["roofline_egno_charged20_B512"]
+        assert rows["roofline_egno_charged20_B512"]["value"] == 5120.0
