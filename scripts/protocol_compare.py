@@ -48,8 +48,6 @@ def main():
         epochs = np.array([x["best_epoch"] for x in g_ref], dtype=float)
         h20s = np.array([x["h20"] for x in g_ref], dtype=float)
         ff20s = np.array([x["ff20"] for x in g_ref], dtype=float)
-        n_late += int((epochs >= 300).sum())
-        n_cells += len(epochs)
         # Under reference-faithful NaN semantics (EGNO/utils.py:261-268: a
         # NaN val lands in the improvement branch, overwrites the
         # checkpoint, and never early-stops) a destabilized seed ends the
@@ -58,6 +56,11 @@ def main():
         # rather than letting one NaN erase the group column.
         fin = np.isfinite(vals_ref)
         n_nan = int((~fin).sum())
+        # unconverged tally over FINITE seeds only: a NaN seed ends at the
+        # last epoch by construction (never stops), which says nothing
+        # about convergence under the truncation
+        n_late += int((epochs[fin] >= 300).sum())
+        n_cells += int(fin.sum())
         val_txt = mean_std(vals_ref[fin]) if fin.any() else "NaN"
         if n_nan:
             val_txt += f" ({fin.sum()}/{len(fin)} fin)"
