@@ -11,8 +11,12 @@ seed's best checkpoint is tested with the standard rollout and written as a
 standard per-seed artifact — so the analysis registry sees exactly what K
 sequential runs would have produced, at ~1/K the wall-clock.
 
-Covers the BASE grid (single-input) for both models; multi-input/varDT
-cells (PRO grid) run through the sequential driver.
+Covers the BASE grid (single-input) for both models, and EGNO PRO groups
+(multi-input / varDT: each seed samples its own per-epoch input offsets
+from its own rng stream, vmapped via SeedFleet.train_epoch_idx). SEGNO
+multi-input/varDT cells run through the sequential driver — SEGNO fleets
+have no wall-clock win (RESULTS.md fleets section) and its varDT epochs
+are already per-batch dynamic programs.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ from .models.egno import EGNO
 from .models.segno import SEGNO
 from .parallel.fleet import FleetEarlyStopping, SeedFleet
 from .train.checkpoint import save_params
-from .train.loop import EGNOExperiment, SEGNOExperiment
+from .train.loop import EGNOExperiment, SEGNOExperiment, make_perm
 
 
 def get_args(argv=None):
@@ -55,6 +59,10 @@ def get_args(argv=None):
     parser.add_argument("--test_interval", type=int, default=5)
     parser.add_argument("--patience", type=int, default=15)
     parser.add_argument("--n_balls", type=int, default=5)
+    parser.add_argument("--num_inputs", type=int, default=1)
+    parser.add_argument("--varDT", type=lambda v: str(v).lower() in
+                        ("yes", "true", "t", "y", "1"), default=False)
+    parser.add_argument("--dT", type=int, default=1)
     parser.add_argument("--num_timesteps", type=int, default=None)
     parser.add_argument("--outf", type=Path, default="results")
     parser.add_argument("--remat", action="store_true",
@@ -87,8 +95,21 @@ def main(args):
         args.batch_size = new_b
         args.remat = args.model == "egno"
 
+    if args.model == "segno" and (args.num_inputs > 1 or args.varDT):
+        raise NotImplementedError(
+            "SEGNO multi-input/varDT fleets are not supported — run those "
+            "cells through the sequential driver (nonode_tpu.main); SEGNO "
+            "fleets have no wall-clock win anyway (RESULTS.md)")
+    # EGNO forces varDT off for single input (reference main.py:121)
+    if args.model == "egno":
+        args.varDT = bool(args.varDT and args.num_inputs > 1)
+    multi = args.model == "egno" and args.num_inputs > 1
+
     ds_kw = dict(data_dir=args.data_dir, dataset=args.dataset,
-                 n_balls=args.n_balls, num_timesteps=args.num_timesteps)
+                 n_balls=args.n_balls, num_timesteps=args.num_timesteps,
+                 num_inputs=args.num_inputs)
+    if args.model == "egno":
+        ds_kw.update(varDT=args.varDT, dT=args.dT)
     ds_train = NBodyDataset(partition="train", max_samples=args.max_samples,
                             **ds_kw)
     ds_val = NBodyDataset(partition="val", **ds_kw)
@@ -102,8 +123,9 @@ def main(args):
                      in_edge_nf=cfg.in_edge_nf, hidden_nf=cfg.hidden_nf,
                      num_modes=cfg.num_modes,
                      num_timesteps=args.num_timesteps,
-                     time_emb_dim=cfg.time_emb_dim, with_v=cfg.with_v,
-                     flat=cfg.flat, norm=cfg.norm)
+                     time_emb_dim=cfg.time_emb_dim,
+                     num_inputs=args.num_inputs, varDT=args.varDT,
+                     with_v=cfg.with_v, flat=cfg.flat, norm=cfg.norm)
         exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
                              remat=args.remat)
     else:
@@ -121,30 +143,76 @@ def main(args):
     arrays = (ds_train.loc, ds_train.vel, ds_train.charges,
               ds_train.edge_weights)
     val_arrays = (ds_val.loc, ds_val.vel, ds_val.charges, ds_val.edge_weights)
+    # val batches are shared across seeds: the sequential driver's val perm
+    # is the unshuffled arange (make_perm(shuffle=False), main.py:233)
+    vperm_const = jnp.asarray(
+        np.arange((len(ds_val) // args.batch_size) * args.batch_size)
+        .reshape(-1, args.batch_size))
 
-    if args.model == "egno":
+    def _stack_idx(dicts):
+        """Per-seed epoch_index_arrays dicts -> one dict with leading K axis.
+        The out-window truncation (epoch_index_arrays 'valid' columns) is
+        data-dependent per seed in principle; at the PRO configs the shift
+        is bounded by T-1 << n_frames so no seed ever truncates — assert
+        instead of silently padding."""
+        out = {}
+        for key in dicts[0]:
+            arrs = [d[key] for d in dicts]
+            assert len({a.shape for a in arrs}) == 1, \
+                f"per-seed idx shape mismatch for {key}"
+            out[key] = jnp.asarray(np.stack(arrs))
+        return out
+
+    if args.model == "egno" and not multi:
+        # single input: index arrays are constant (no rng consumption),
+        # shared across seeds
         idx_train = {key: jnp.asarray(v) for key, v in
                      exp.epoch_index_arrays(ds_train, eval_rng).items()}
         idx_val = {key: jnp.asarray(v) for key, v in
                    exp.epoch_index_arrays(ds_val, eval_rng).items()}
 
-        def train_fn(p, o, perms):
+        def train_fn(p, o, alive_rngs):
+            perms = jnp.asarray(fleet.make_perms(alive_rngs, len(ds_train),
+                                                 args.batch_size))
             p, o, _, last = fleet.train_epoch(p, o, arrays, idx_train, perms)
-            return p, o, last
+            return p, o
 
-        def val_fn(p, vperm):
-            _, vlast = fleet.eval_epoch(p, val_arrays, idx_val, vperm)
+        def val_fn(p, alive_rngs):
+            _, vlast = fleet.eval_epoch(p, val_arrays, idx_val, vperm_const)
             # reference epoch metric is the last-timestep loss
+            return np.asarray(vlast).mean(axis=1)
+    elif args.model == "egno":
+        # multi-input / varDT: per-seed per-epoch index sampling. The rng
+        # consumption order per seed matches the sequential driver exactly
+        # (main.py:232-237): the train permutation, then the train input
+        # offsets; on eval epochs additionally the val input offsets.
+        def train_fn(p, o, alive_rngs):
+            perms, idx = [], []
+            for r in alive_rngs:
+                perms.append(make_perm(r, len(ds_train), args.batch_size))
+                idx.append(exp.epoch_index_arrays(ds_train, r))
+            p, o, _, last = fleet.train_epoch_idx(
+                p, o, arrays, _stack_idx(idx),
+                jnp.asarray(np.stack(perms)))
+            return p, o
+
+        def val_fn(p, alive_rngs):
+            idx = [exp.epoch_index_arrays(ds_val, r) for r in alive_rngs]
+            _, vlast = fleet.eval_epoch_idx(p, val_arrays, _stack_idx(idx),
+                                            vperm_const)
             return np.asarray(vlast).mean(axis=1)
     else:
         frames, in_steps, _ = exp.input_frames(ds_train, None)
 
-        def train_fn(p, o, perms):
-            return fleet.train_epoch_segno(p, o, arrays, perms, frames,
-                                           in_steps)
+        def train_fn(p, o, alive_rngs):
+            perms = jnp.asarray(fleet.make_perms(alive_rngs, len(ds_train),
+                                                 args.batch_size))
+            p, o, _ = fleet.train_epoch_segno(p, o, arrays, perms, frames,
+                                              in_steps)
+            return p, o
 
-        def val_fn(p, vperm):
-            vl = fleet.eval_epoch_segno(p, val_arrays, vperm, frames,
+        def val_fn(p, alive_rngs):
+            vl = fleet.eval_epoch_segno(p, val_arrays, vperm_const, frames,
                                         in_steps)
             return np.asarray(vl).mean(axis=1)
 
@@ -153,17 +221,13 @@ def main(args):
     t0 = time.time()
 
     for epoch in range(args.epochs):
-        perms = jnp.asarray(fleet.make_perms([rngs[i] for i in alive],
-                                             len(ds_train), args.batch_size))
-        params, opt_state, _ = train_fn(params, opt_state, perms)
+        alive_rngs = [rngs[i] for i in alive]
+        params, opt_state = train_fn(params, opt_state, alive_rngs)
         # gate matches the reference exactly (main.py:156), including its
         # `epoch > 0` quirk: a 1-epoch run never evaluates on either side
         if (epoch % args.test_interval == 0 or epoch == args.epochs - 1) \
                 and epoch > 0:
-            vperm = jnp.asarray(
-                np.arange((len(ds_val) // args.batch_size) * args.batch_size)
-                .reshape(-1, args.batch_size))
-            val_a = val_fn(params, vperm)                  # [K_alive]
+            val_a = val_fn(params, alive_rngs)             # [K_alive]
             val = np.full(k, np.inf)
             val[alive] = val_a
             improved = es(val, epoch)                      # [K]
@@ -200,11 +264,18 @@ def main(args):
     for i, seed in enumerate(seeds):
         p_i = jax.tree.map(lambda a: a[i], best_params)
         stem = artifact_stem(args.model, args.dataset, seed, args.n_balls,
+                             num_inputs=args.num_inputs, dT=args.dT,
+                             varDT=args.varDT,
                              num_timesteps=args.num_timesteps)
         save_params(out_dir / f"{stem}.ckpt", p_i)
         if args.model == "egno":
+            # multi-input: the per-seed stream continues into the test
+            # window sampling, like the sequential driver's shared rng
+            # (main.py:347); single-input consumes nothing — the fresh
+            # RandomState keeps bit-compat with the BASE ledgers
+            test_rng = rngs[i] if multi else np.random.RandomState(seed)
             test_loss, avg_steps, artifact = exp.test_rollout(
-                p_i, ds_test, args.batch_size, np.random.RandomState(seed))
+                p_i, ds_test, args.batch_size, test_rng)
         else:
             test_loss, avg_steps, artifact = exp.test_rollout(
                 p_i, ds_test, args.batch_size, np.random.RandomState(seed),

@@ -118,6 +118,30 @@ class SeedFleet:
         return jax.vmap(
             lambda p: self.exp.eval_epoch(p, ds_arrays, idx_arrays, perm))(params)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_epoch_idx(self, params, opt_state, ds_arrays, idx_arrays, perms):
+        """EGNO epoch with PER-SEED index arrays (leading K axis on every
+        idx entry): multi-input / varDT groups, where each seed samples its
+        own input-offset arrays per epoch from its own rng stream — the
+        fleet analogue of the sequential driver's per-epoch
+        ``epoch_index_arrays(ds, rng)`` call (main.py:232-237)."""
+
+        def one(params, opt_state, idx, perm):
+            return self.exp.train_epoch(params, opt_state, ds_arrays, idx,
+                                        perm)
+
+        return jax.vmap(one, in_axes=(0, 0, 0, 0))(params, opt_state,
+                                                   idx_arrays, perms)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_epoch_idx(self, params, ds_arrays, idx_arrays, perm):
+        """Eval with per-seed index arrays; eval batches (perm) are shared
+        (the sequential driver's val perm is the unshuffled arange,
+        loop.py make_perm(shuffle=False))."""
+        return jax.vmap(
+            lambda p, idx: self.exp.eval_epoch(p, ds_arrays, idx, perm),
+            in_axes=(0, 0))(params, idx_arrays)
+
     @functools.partial(jax.jit, static_argnums=(0, 5, 6))
     def train_epoch_segno(self, params, opt_state, ds_arrays, perms, frames,
                           in_steps):

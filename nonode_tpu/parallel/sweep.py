@@ -87,13 +87,17 @@ def load_schedule(path: str | None, grid: str) -> dict:
 
 
 def group_for_fleet(configs: list[dict]) -> dict:
-    """Group single-input configs (both models) by everything-but-seed ->
-    seed list. These groups can train as one vmapped fleet program each."""
+    """Group fleet-able configs by everything-but-seed -> seed list. These
+    groups train as one vmapped fleet program each. SEGNO: single-input
+    non-varDT only (its multi-input/varDT cells run sequentially — no fleet
+    win, RESULTS.md); EGNO: every PRO combination (fleet_main samples
+    per-seed input offsets per epoch)."""
     groups = {}
     for cfg in configs:
-        if cfg.get("model") not in ("egno", "segno") \
-                or cfg.get("num_inputs", 1) != 1 \
-                or cfg.get("varDT", False):
+        if cfg.get("model") not in ("egno", "segno"):
+            continue
+        if cfg.get("model") == "segno" and (cfg.get("num_inputs", 1) != 1
+                                            or cfg.get("varDT", False)):
             continue
         key = json.dumps({k: v for k, v in cfg.items()
                           if k not in ("seed", "exp_name")}, sort_keys=True)
@@ -138,6 +142,8 @@ def run_sweep(grid_name: str, schedule_path: str | None, overrides: dict,
                     "--dataset", str(base["dataset"]),
                     "--n_balls", str(base["n_balls"]),
                     "--seeds", seeds,
+                    "--num_inputs", str(base.get("num_inputs", 1)),
+                    "--varDT", str(base.get("varDT", False)),
                     "--exp_name", str(base.get("exp_name", "_exp_new")),
                     "--outf", str(overrides.get("outf", "results")),
                     "--data_dir", str(overrides.get("data_dir", "data"))]

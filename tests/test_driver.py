@@ -9,6 +9,8 @@ import pytest
 
 from nonode_tpu.main import get_args, main
 
+pytestmark = pytest.mark.slow  # multi-minute tier; quick: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tiny_data(tmp_path_factory):
@@ -177,6 +179,36 @@ class TestMeshDriver:
                           extra=n4 + ["--dp", "4", "--space", "2"])
         np.testing.assert_allclose(dpsp[0], ref[0], rtol=2e-4)
         np.testing.assert_allclose(dpsp[1], ref[1], rtol=2e-4)
+
+    @pytest.mark.parametrize("varDT", [True, False])
+    def test_fleet_multi_input_matches_sequential_driver(self, tiny_data,
+                                                         tmp_path, varDT):
+        """EGNO PRO-grid fleets (num_inputs>1, varDT): the vmapped fleet
+        must reproduce per-seed sequential driver runs — same per-seed rng
+        consumption order (train perm, then train input offsets, then val
+        input offsets on eval epochs, then the test windows), same early-
+        stopping decisions, same rollout numbers. This is what lets the
+        sweep harness run the PRO grid's EGNO groups as fleets."""
+        from nonode_tpu.fleet_main import get_args as fleet_args, \
+            main as fleet_main
+        common = ["--dataset", "charged", "--data_dir", str(tiny_data),
+                  "--epochs", "4", "--test_interval", "2",
+                  "--batch_size", "8", "--max_samples", "24",
+                  "--traj_len", "1", "--num_inputs", "2",
+                  "--varDT", str(varDT)]
+        seq = {}
+        for seed in (7, 8):
+            args = get_args(["--model", "egno", "--seed", str(seed),
+                             "--outf", str(tmp_path / f"seq{seed}"), *common])
+            seq[seed] = main(args)       # (best_val, test_loss, best_epoch)
+        records = fleet_main(fleet_args(
+            ["--model", "egno", "--seeds", "7,8",
+             "--outf", str(tmp_path / "fleet"), *common]))
+        for rec, seed in zip(records, (7, 8)):
+            bv, tl, be = seq[seed]
+            assert rec["best_epoch"] == be, f"seed {seed}"
+            np.testing.assert_allclose(rec["best_val_loss"], bv, rtol=1e-4)
+            np.testing.assert_allclose(rec["test_loss"], tl, rtol=1e-4)
 
     def test_fleet_final_epoch_eval(self, tiny_data, tmp_path):
         """The fleet driver must evaluate at the final epoch even when it
