@@ -21,20 +21,14 @@ from .registry import artifact_stem
 from .results import short_horizon_loss
 
 
-def load_ledger_groups(outf) -> dict:
-    """{(model, dataset, n_balls, num_inputs, varDT): [per-seed records]}.
-
-    Each record: {val, test, best_epoch, ff, tlf, h20, ff20} — ledger
-    best-val/test plus artifact companions (NaN when the artifact is
-    missing). h20/ff20 are at a 20-FRAME physical horizon for both models
-    (EGNO logs per frame, SEGNO per num_timesteps-frame window — see
-    results.short_horizon_loss), so the column is cross-model comparable.
-    """
+def iter_ledger_artifacts(outf):
+    """Yield (record, config, artifact_path_or_None) for every row of every
+    ``sweep_*.jsonl`` ledger under outf, resolving each row's trajectory
+    artifact by the canonical stem (None when the file is missing)."""
     outf = Path(outf)
     recs = []
     for ledger in sorted(outf.glob("sweep_*.jsonl")):
         recs += [json.loads(line) for line in ledger.read_text().splitlines()]
-    groups = defaultdict(list)
     for r in recs:
         c = r["config"]
         # forward any non-default windowing the grid swept: the stem must
@@ -47,8 +41,23 @@ def load_ledger_groups(outf) -> dict:
                              dT=int(c.get("dT", 1)), varDT=c["varDT"],
                              num_timesteps=num_timesteps)
         art = outf / c.get("exp_name", "_exp_new") / (stem + "_results.npz")
+        yield r, c, (art if art.exists() else None)
+
+
+def load_ledger_groups(outf) -> dict:
+    """{(model, dataset, n_balls, num_inputs, varDT): [per-seed records]}.
+
+    Each record: {val, test, best_epoch, ff, tlf, h20, ff20} — ledger
+    best-val/test plus artifact companions (NaN when the artifact is
+    missing). h20/ff20 are at a 20-FRAME physical horizon for both models
+    (EGNO logs per frame, SEGNO per num_timesteps-frame window — see
+    results.short_horizon_loss), so the column is cross-model comparable.
+    """
+    groups = defaultdict(list)
+    for r, c, art in iter_ledger_artifacts(outf):
+        num_timesteps = int(c.get("num_timesteps", 10))
         ff = tlf = h20 = ff20 = float("nan")
-        if art.exists():
+        if art is not None:
             d = np.load(art, allow_pickle=True)
             if "finite_fraction" in d.files:
                 ff = float(d["finite_fraction"])

@@ -115,7 +115,8 @@ def energy_drift_per_timestep(energy):
         return (drift[..., 0] ** 2).mean(axis=0)
 
 
-def short_horizon_loss(artifact, h_frames=20, frames_per_entry=1):
+def short_horizon_loss(artifact, h_frames=20, frames_per_entry=1,
+                       bound_mult=10.0):
     """Headline loss at a PHYSICAL horizon of `h_frames` sampled frames,
     comparable ACROSS models whose artifacts log on different grids: EGNO
     artifacts store one entry per frame (rollout, loop.py:286-335) while
@@ -134,6 +135,11 @@ def short_horizon_loss(artifact, h_frames=20, frames_per_entry=1):
     fractions <= 0.3, RESULTS.md); this gives every cell a comparable
     headline number from the stored artifact.
 
+    `bound_mult` scales the "converged" range (default 10x the ground-truth
+    coordinate range, the heuristic from loop.py _finite_metrics;
+    scripts/bound_sensitivity.py sweeps it 3x/10x/30x to show the
+    published finite fractions are not knife-edge on it).
+
     Returns (loss_all_samples, loss_finite_samples, finite_frac@h)."""
     preds = np.asarray(artifact["preds"])
     targets = np.asarray(artifact["targets"])[:, : preds.shape[1]]
@@ -142,7 +148,7 @@ def short_horizon_loss(artifact, h_frames=20, frames_per_entry=1):
     t = _flat(targets)[:, :k]
     with np.errstate(invalid="ignore", over="ignore"):
         loss = float(np.mean((p - t) ** 2))
-        bound = 10.0 * max(float(np.abs(t).max()), 1.0)
+        bound = bound_mult * max(float(np.abs(t).max()), 1.0)
         ok = (np.isfinite(p) & (np.abs(p) <= bound)).all(axis=(1, 2))
         loss_f = float(np.mean((p[ok] - t[ok]) ** 2)) if ok.any() \
             else float("nan")

@@ -66,7 +66,7 @@ def _gather_window(arr, idx, frames):
     return arr[idx[:, None], frames]
 
 
-def _finite_metrics(artifact):
+def _finite_metrics(artifact, bound_mult=10.0):
     """Companion metrics for diverging autoregressive rollouts.
 
     The reference-semantic test_loss averages squared errors over the 40%
@@ -77,9 +77,12 @@ def _finite_metrics(artifact):
     """
     preds = artifact["preds"]
     targets = artifact["targets"][:, : preds.shape[1]]
-    # "converged" = stayed within 10x the ground-truth coordinate range the
-    # whole horizon (near-overflow float32 garbage is finite but meaningless)
-    bound = 10.0 * max(float(np.abs(targets).max()), 1.0)
+    # "converged" = stayed within bound_mult x the ground-truth coordinate
+    # range the whole horizon (near-overflow float32 garbage is finite but
+    # meaningless). 10x is a heuristic; scripts/bound_sensitivity.py sweeps
+    # 3x/10x/30x over the committed grids to show published finite
+    # fractions are not knife-edge on it.
+    bound = bound_mult * max(float(np.abs(targets).max()), 1.0)
     with np.errstate(invalid="ignore"):
         ok = (np.isfinite(preds) & (np.abs(preds) <= bound)).all(axis=(1, 2, 3))
     out = {"finite_fraction": float(ok.mean())}
