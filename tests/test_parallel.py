@@ -17,6 +17,7 @@ def eight_devices():
     return jax.devices()[:8]
 
 
+@pytest.mark.slow
 class TestMesh:
     def test_make_mesh_shapes(self, eight_devices):
         mesh = make_mesh(8, space=2)
@@ -130,6 +131,7 @@ class TestFleetEarlyStopping:
             assert fes.best_epoch[i] == seq_best_ep, f"seed {i}"
 
 
+@pytest.mark.slow
 class TestSeedFleet:
     def test_fleet_matches_individual_training(self, tmp_path):
         """A vmapped K-seed epoch must produce exactly what K separate
@@ -223,3 +225,82 @@ class TestSeedFleet:
                         jax.tree.leaves(p1b)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestCompactionBitStability:
+    """RESULTS.md claims compaction timing (fleet recompilation at a
+    different surviving-seed count) leaves every PRE-compaction statistic
+    bit-identical and only perturbs long-surviving seeds' later
+    trajectories at ULP level. Pin the first half of that claim with a
+    controlled experiment instead of one ledger diff."""
+
+    def _setup(self):
+        from nonode_tpu.models.egno import EGNO
+        from nonode_tpu.parallel.fleet import SeedFleet
+        from nonode_tpu.train.loop import EGNOExperiment
+
+        model = EGNO(n_layers=1, hidden_nf=8, num_timesteps=3,
+                     time_emb_dim=4, num_modes=2)
+        exp = EGNOExperiment(model, lr=1e-3)
+        fleet = SeedFleet(exp, seeds=[0, 1, 2])
+        s, n, t = 32, 4, 3
+        rng = np.random.RandomState(0)
+        loc = jnp.asarray(rng.randn(s, 20, n, 3), jnp.float32)
+        vel = jnp.asarray(rng.randn(s, 20, n, 3), jnp.float32)
+        charges = jnp.asarray(rng.choice([-1.0, 1.0], (s, n, 1)), jnp.float32)
+        w = jnp.einsum("sik,sjk->sij", charges, charges)[..., None]
+        out_frames = np.broadcast_to(np.arange(11, 11 + t), (s, t)).copy()
+        idx = {
+            "frames_in": jnp.full((s, 1), 10, jnp.int32),
+            "t_in": jnp.zeros((s, 1), jnp.float32),
+            "out_frames": jnp.asarray(out_frames.astype(np.int32)),
+            "t_out": jnp.asarray((out_frames - 10).astype(np.float32)),
+        }
+        return fleet, (loc, vel, charges, w), idx, s
+
+    def _run(self, compact_at, epochs=6):
+        """Train the 3-seed fleet; at epoch `compact_at` force seed 2 out
+        (fleet.take on [0, 1] — exactly what the driver does when a seed
+        early-stops). Returns per-epoch per-seed losses [E, 3] with NaN
+        after removal."""
+        fleet, arrays, idx, s = self._setup()
+        params, opt_state = fleet.init()
+        alive = np.arange(3)
+        perm_rngs = [np.random.RandomState(s_) for s_ in range(3)]
+        hist = np.full((epochs, 3), np.nan)
+        for ep in range(epochs):
+            perms = jnp.asarray(fleet.make_perms(
+                [perm_rngs[i] for i in alive], s, 8))
+            params, opt_state, losses, _ = fleet.train_epoch(
+                params, opt_state, arrays, idx, perms)
+            hist[ep, alive] = np.asarray(losses).mean(axis=1)
+            if ep == compact_at:
+                keep = np.array([0, 1])
+                params = fleet.take(params, keep)
+                opt_state = fleet.take(opt_state, keep)
+                alive = alive[keep]
+        return hist
+
+    def test_pre_compaction_stats_bit_identical(self):
+        """Compacting at epoch 2 vs epoch 4 vs never: every statistic
+        recorded BEFORE the earlier compaction point must be bit-identical
+        across the three runs, and the survivors' post-compaction
+        trajectories must agree to ULP-level tolerance (the documented
+        residual: recompiling at K=2 re-orders fp32 reductions)."""
+        h2 = self._run(compact_at=2)
+        h4 = self._run(compact_at=4)
+        hn = self._run(compact_at=10**9)   # never compacts
+
+        # epochs 0..2 ran identically (same K=3 program) in all runs
+        np.testing.assert_array_equal(h2[:3], h4[:3])
+        np.testing.assert_array_equal(h2[:3], hn[:3])
+        # seed 2's full pre-removal history in the early-compaction run
+        # bit-matches the never-compacted run
+        np.testing.assert_array_equal(h2[:3, 2], hn[:3, 2])
+        # survivors after the early compaction: ULP-level only
+        np.testing.assert_allclose(h2[3:, :2], hn[3:, :2],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(h4[5:, :2], hn[5:, :2],
+                                   rtol=1e-5, atol=1e-7)
+        assert np.isnan(h2[3:, 2]).all() and np.isnan(h4[5:, 2]).all()
