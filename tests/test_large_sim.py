@@ -10,6 +10,8 @@ import pytest
 from nonode_tpu.sim.large import LargeNChargedSim, LargeNGravitySim
 from nonode_tpu.sim.simulators import ChargedSim, GravitySim
 
+pytestmark = pytest.mark.slow  # multi-minute tier; quick: -m 'not slow'
+
 INTERPRET = jax.default_backend() != "tpu"
 
 

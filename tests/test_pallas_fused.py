@@ -14,6 +14,8 @@ import pytest
 
 from nonode_tpu.ops.dense_graph import EGNNLayer, SEGNOGCL, offdiag_mask
 
+pytestmark = pytest.mark.slow  # multi-minute tier; quick: -m 'not slow'
+
 H = 32
 E = 2
 

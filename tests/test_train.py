@@ -55,6 +55,7 @@ class TestEGNOTraining:
             last = loss
         assert last < first * 0.7, f"no learning: {first} -> {last}"
 
+    @pytest.mark.slow
     def test_bf16_compute_mode_traces(self, charged_ds):
         """The opt-in bf16 speed mode must trace and step: time embeddings
         adopt the node-feature dtype (egno.py) so the concat doesn't promote
@@ -130,6 +131,7 @@ class TestSEGNOTraining:
             last = loss
         assert last < first * 0.8, f"no learning: {first} -> {last}"
 
+    @pytest.mark.slow
     def test_bf16_compute_mode_traces(self, charged_ds):
         """SEGNO's opt-in bf16 speed mode (fp32 master weights, bf16
         fwd/bwd, fp32 loss) must trace+step on BOTH epoch programs: the
@@ -261,6 +263,7 @@ class TestGravityShiftedWindowParity:
         np.testing.assert_allclose(t_out, out_frames - m, atol=0)
 
 
+@pytest.mark.slow
 class TestSEGNODynamicSampling:
     """Per-batch varDT segment resampling — the reference resamples inside
     the batch loop (SEGNO/train_nbody.py:97-116); the dynamic epoch path
