@@ -1,0 +1,59 @@
+#!/bin/bash
+# Round-4 chip phase 2: the FULL PRO grid at reference protocol
+# (VERDICT round-3 item 1). Serialized TPU work; resume-safe via the sweep
+# ledger; wedge-restart loop per the verify-skill runbook (long clients can
+# die after 45-90 min of sustained work — restart after an 11-min hold +
+# probe, the ledger skips completed cells).
+cd "$(dirname "$0")/.."
+
+probe () {
+  for attempt in 1 2 3 4 5; do
+    echo "=== probe (attempt $attempt, $(date +%H:%M:%S)) ==="
+    if timeout 280 python -c "import jax,numpy as np,jax.numpy as jnp; print(np.asarray(jax.jit(lambda a:(a@a).sum())(jnp.ones((256,256)))))"; then
+      return 0
+    fi
+    echo "probe wedged; holding 680 s"
+    sleep 680
+  done
+  echo "chip unreachable after 5 probe attempts"; return 1
+}
+
+# Inherit the 12 PRO_HEADLINE cells already run at reference protocol
+# (results/pro_ref/sweep_PRO_HEADLINE.jsonl, round 3): same code path
+# (sequential driver), same overrides (epochs 1000, batch 256), same
+# seed-43 datasets (datagen is bit-deterministic across machine resets —
+# round-3 evidence), identical config_ids. Copy once, idempotently.
+python - <<'EOF'
+import json
+from pathlib import Path
+src = Path("results/pro_ref/sweep_PRO_HEADLINE.jsonl")
+dst = Path("results/pro_ref/sweep_PRO.jsonl")
+have = set()
+if dst.exists():
+    have = {json.loads(l)["config_id"] for l in dst.read_text().splitlines()}
+n = 0
+if src.exists():
+    with open(dst, "a") as f:
+        for line in src.read_text().splitlines():
+            rec = json.loads(line)
+            if rec["config_id"] not in have:
+                rec["inherited_from"] = "sweep_PRO_HEADLINE.jsonl"
+                f.write(json.dumps(rec) + "\n")
+                have.add(rec["config_id"])
+                n += 1
+print(f"inherited {n} PRO_HEADLINE rows into sweep_PRO.jsonl")
+EOF
+
+for attempt in 1 2 3 4 5 6 7 8; do
+  echo "=== PRO grid @ reference protocol (attempt $attempt, $(date)) ==="
+  if python -m nonode_tpu.parallel.sweep --grid PRO --use_fleet \
+      --schedule scripts/pro_ref_schedule.yaml \
+      --data_dir data --outf results/pro_ref --epochs 1000 --batch_size 256; then
+    echo "=== phase 2 done ($(date)) ==="
+    exit 0
+  fi
+  echo "sweep died (attempt $attempt); 680 s hold, then probe, then resume"
+  sleep 680
+  probe || exit 1
+done
+echo "phase 2 exhausted restart attempts"; exit 1
