@@ -178,6 +178,34 @@ def main(args):
     print(f"==> test loss: {test_loss:.5f}")
     with open(save_path.with_suffix(".json"), "w") as f:
         json.dump(results, f, indent=4)
+
+    # Trajectory artifact with the nbody drivers' schema
+    # {targets, preds, test_loss} so analysis/registry aggregates mocap seed
+    # groups (per-timestep MSE curves, mean±std) exactly like an n-body grid
+    # cell. N=31 joints stand in for n_part; the stem parses under FNAME_RE.
+    from .analysis.registry import artifact_stem
+    e_attr = jnp.broadcast_to(ds_test.edge_attr,
+                              (args.batch_size, *ds_test.edge_attr.shape))
+
+    @jax.jit
+    def decode(params, idx):
+        x0 = ds_test.x_0[idx]
+        nodes = ds_test.node_features(x0)
+        loc_mean = x0.mean(axis=1, keepdims=True).repeat(ds_test.n_node, 1)
+        x, _, _ = model(params, x0, ds_test.v_0[idx], nodes, e_attr,
+                        loc_mean, edge_mask=ds_test.edge_mask)
+        return jnp.swapaxes(x, 0, 1)            # [B, T, N, 3]
+
+    preds_l, targets_l = [], []
+    for row in np.asarray(tperm):
+        preds_l.append(np.asarray(decode(params, jnp.asarray(row))))
+        targets_l.append(np.asarray(ds_test.x_t[row]))
+    artifact = {"targets": np.concatenate(targets_l),
+                "preds": np.concatenate(preds_l), "test_loss": test_loss}
+    stem = artifact_stem("egno", f"motion_{args.case}", args.seed,
+                         ds_test.n_node, num_timesteps=args.num_timesteps)
+    np.savez(save_path.parent / f"{stem}_results.npz", **artifact)
+    print(f"trajectory artifact saved to {save_path.parent / stem}_results.npz")
     return best_val, test_loss
 
 

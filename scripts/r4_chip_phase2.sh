@@ -44,6 +44,18 @@ if src.exists():
 print(f"inherited {n} PRO_HEADLINE rows into sweep_PRO.jsonl")
 EOF
 
+# Short jobs FIRST (VERDICT items 3/4/5/9, ~1.5 h total, all resume-safe):
+# the PRO grid then takes whatever chip time the round has left — its
+# ledger granularity makes a tail cutoff lose the least information
+# (SEGNO-charged cells run last and were protocol-insensitive in round 3).
+for attempt in 1 2 3; do
+  echo "=== phase 3 short jobs (attempt $attempt, $(date)) ==="
+  if python scripts/r4_phase3.py; then break; fi
+  echo "phase 3 died (attempt $attempt); 680 s hold, then probe"
+  sleep 680
+  probe || exit 1
+done
+
 for attempt in 1 2 3 4 5 6 7 8; do
   echo "=== PRO grid @ reference protocol (attempt $attempt, $(date)) ==="
   if python -m nonode_tpu.parallel.sweep --grid PRO --use_fleet \

@@ -247,3 +247,33 @@ class TestMotionRunParity:
         assert x.shape == (4, b, 31, 3)
         loss = float(((jnp.swapaxes(x, 0, 1) - ds.x_t[:b]) ** 2).mean())
         assert np.isfinite(loss)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF_MOTION),
+                    reason="reference mocap dataset unavailable")
+class TestMotionDriver:
+    def test_motion_main_end_to_end(self, tmp_path):
+        """motion_main end to end on the real mocap data: results JSON +
+        a registry-parsable trajectory artifact with per-timestep decode
+        curves (the mocap analogue of the nbody drivers' artifact
+        contract)."""
+        from nonode_tpu.analysis.registry import FNAME_RE
+        from nonode_tpu.motion_main import get_args, main
+
+        best_val, test_loss = main(get_args([
+            "--data_dir", REF_MOTION, "--epochs", "3", "--test_interval", "2",
+            "--batch_size", "8", "--max_training_samples", "24",
+            "--n_layers", "1", "--nf", "16", "--num_timesteps", "4",
+            "--seed", "3", "--outf", str(tmp_path)]))
+        assert np.isfinite(best_val) and np.isfinite(test_loss)
+        arts = list((tmp_path / "mocap_exp").glob("*_results.npz"))
+        assert len(arts) == 1
+        m = FNAME_RE.match(arts[0].name)
+        assert m and m["dataset"] == "motion_run" and m["seed"] == "3"
+        d = np.load(arts[0])
+        assert d["preds"].shape == d["targets"].shape
+        assert d["preds"].shape[1:] == (4, 31, 3)
+        # artifact test_loss must equal the decode MSE over the same batches
+        mse = float(((d["preds"] - d["targets"]) ** 2).mean())
+        np.testing.assert_allclose(mse, float(d["test_loss"]), rtol=1e-5)
