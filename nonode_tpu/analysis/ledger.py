@@ -24,11 +24,21 @@ from .results import short_horizon_loss
 def iter_ledger_artifacts(outf):
     """Yield (record, config, artifact_path_or_None) for every row of every
     ``sweep_*.jsonl`` ledger under outf, resolving each row's trajectory
-    artifact by the canonical stem (None when the file is missing)."""
+    artifact by the canonical stem (None when the file is missing).
+    Deduplicates by config_id across ledgers — a resumable sweep ledger may
+    INHERIT rows from a sibling ledger in the same directory (e.g.
+    pro_ref/sweep_PRO.jsonl inherits the PRO_HEADLINE cells), and a
+    double-counted seed would silently skew every group statistic."""
     outf = Path(outf)
-    recs = []
+    recs, seen = [], set()
     for ledger in sorted(outf.glob("sweep_*.jsonl")):
-        recs += [json.loads(line) for line in ledger.read_text().splitlines()]
+        for line in ledger.read_text().splitlines():
+            rec = json.loads(line)
+            cid = rec.get("config_id")
+            if cid in seen:
+                continue
+            seen.add(cid)
+            recs.append(rec)
     for r in recs:
         c = r["config"]
         # forward any non-default windowing the grid swept: the stem must

@@ -468,3 +468,27 @@ class TestRealPyGLayout:
         assert art["targets"].shape == (3, 4, 5, 3)
         assert art["preds"].shape == (3, 2, 5, 3)
         assert float(art["test_loss"]) == 0.5
+
+
+class TestLedgerDedupe:
+    def test_inherited_rows_counted_once(self, tmp_path):
+        """A resumable ledger may inherit rows from a sibling ledger in the
+        same outf (pro_ref/sweep_PRO.jsonl inherits the PRO_HEADLINE
+        cells); group statistics must not double-count those seeds."""
+        import json
+        from nonode_tpu.analysis.ledger import load_ledger_groups
+        cfg = {"model": "segno", "dataset": "charged", "n_balls": 5,
+               "num_inputs": 2, "varDT": True, "seed": 1,
+               "exp_name": "_exp_new"}
+        row = {"config_id": "cid1", "config": cfg, "test_loss": 1.0,
+               "best_val_loss": 0.5, "best_epoch": 10}
+        (tmp_path / "sweep_A.jsonl").write_text(json.dumps(row) + "\n")
+        row2 = dict(row, inherited_from="sweep_A.jsonl")
+        row3 = dict(row, config_id="cid2",
+                    config=dict(cfg, seed=2), best_val_loss=0.7)
+        (tmp_path / "sweep_B.jsonl").write_text(
+            json.dumps(row2) + "\n" + json.dumps(row3) + "\n")
+        groups = load_ledger_groups(tmp_path)
+        (key,) = groups.keys()
+        assert len(groups[key]) == 2, "inherited row double-counted"
+        assert sorted(x["val"] for x in groups[key]) == [0.5, 0.7]
