@@ -67,7 +67,51 @@ def get_args(argv=None):
     parser.add_argument("--outf", type=Path, default="results")
     parser.add_argument("--remat", action="store_true",
                         help="gradient rematerialization (large N / big fleets)")
+    parser.add_argument("--checkpoint_every", type=int, default=50,
+                        help="save resumable fleet state every N epochs "
+                             "(0 disables). Multi-hour fleets on the "
+                             "tunneled chip die to wedges after 45-90 min "
+                             "(verify-skill field notes); without mid-run "
+                             "state the whole group restarts from epoch 0.")
+    parser.add_argument("--_die_at_epoch", type=int, default=None,
+                        help=argparse.SUPPRESS)  # test hook: simulate a wedge
     return parser.parse_args(argv)
+
+
+def _fleet_state_path(args) -> Path:
+    return (args.outf / args.exp_name /
+            (f"fleet_state_{args.model}_{args.dataset}_n{args.n_balls}"
+             f"_in{args.num_inputs}_varDT{args.varDT}"
+             f"_seeds{args.seeds.replace(',', '-')}.pkl"))
+
+
+def _save_fleet_state(path: Path, epoch, params, opt_state, best_params, es,
+                      alive, rngs, wall_so_far):
+    """Atomic pickle of everything a fleet needs to resume bit-identically:
+    device state (params/opt/best), the vectorized stopper, the alive-seed
+    compaction, every seed's host rng stream, and the accumulated
+    wall-clock."""
+    import pickle
+    host = lambda t: jax.tree.map(np.asarray, t)
+    state = {"epoch": epoch,
+             "params": host(params), "opt_state": host(opt_state),
+             "best_params": host(best_params),
+             "es": {"best_val": es.best_val, "best_epoch": es.best_epoch,
+                    "counter": es.counter, "stopped": es.stopped},
+             "alive": np.asarray(alive),
+             "rng_states": [r.get_state() for r in rngs],
+             "wall_so_far": wall_so_far}
+    tmp = path.with_suffix(".pkl.tmp")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    tmp.replace(path)
+
+
+def _load_fleet_state(path: Path):
+    import pickle
+    with open(path, "rb") as f:
+        return pickle.load(f)
 
 
 def main(args):
@@ -218,9 +262,24 @@ def main(args):
 
     es = FleetEarlyStopping(k, patience=args.patience)
     alive = np.arange(k)                 # indices into the original seed list
-    t0 = time.time()
+    start_epoch, wall_prev = 0, 0.0
+    state_path = _fleet_state_path(args)
+    if args.checkpoint_every and state_path.exists():
+        st = _load_fleet_state(state_path)
+        dev = lambda t: jax.tree.map(jnp.asarray, t)
+        params, opt_state = dev(st["params"]), dev(st["opt_state"])
+        best_params = dev(st["best_params"])
+        for f_ in ("best_val", "best_epoch", "counter", "stopped"):
+            setattr(es, f_, st["es"][f_])
+        alive = st["alive"]
+        for r, s in zip(rngs, st["rng_states"]):
+            r.set_state(s)
+        start_epoch, wall_prev = st["epoch"], st["wall_so_far"]
+        print(f"resuming fleet from {state_path.name} at epoch {start_epoch} "
+              f"(alive {[seeds[i] for i in alive]})")
+    t0 = time.time() - wall_prev
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         alive_rngs = [rngs[i] for i in alive]
         params, opt_state = train_fn(params, opt_state, alive_rngs)
         # gate matches the reference exactly (main.py:156), including its
@@ -253,6 +312,13 @@ def main(args):
                 alive = alive[keep]
                 print(f"compacted fleet to {len(alive)} seeds "
                       f"{[seeds[i] for i in alive]}")
+        if args.checkpoint_every and epoch > 0 \
+                and epoch % args.checkpoint_every == 0:
+            _save_fleet_state(state_path, epoch + 1, params, opt_state,
+                              best_params, es, alive, rngs,
+                              time.time() - t0)
+        if args._die_at_epoch is not None and epoch >= args._die_at_epoch:
+            raise RuntimeError(f"test hook: simulated wedge at epoch {epoch}")
     best_val, best_epoch = es.best_val, es.best_epoch
     wall = time.time() - t0
     print(f"fleet training wall-clock: {wall:.1f}s for {k} seeds "
@@ -291,6 +357,11 @@ def main(args):
             "finite_fraction": float(artifact["finite_fraction"]),
             "test_loss_finite": float(artifact["test_loss_finite"]),
         })
+    # the group is fully recorded — drop the resume state (kept through the
+    # test phase so a wedge during rollouts still resumes from the last
+    # training checkpoint instead of epoch 0)
+    if args.checkpoint_every:
+        _fleet_state_path(args).unlink(missing_ok=True)
     return records
 
 

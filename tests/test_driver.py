@@ -251,3 +251,39 @@ class TestDeferredTrainLossFlush:
         # evals at epochs 2 and 4 (epoch 4 == epochs-1 is forced)
         assert res["eval epoch"] == [2, 4]
         assert len(res["val loss"]) == 2
+
+
+class TestFleetCheckpointResume:
+    def test_resume_reproduces_uninterrupted_run(self, tiny_data, tmp_path):
+        """Mid-run fleet checkpointing (the wedge-survival mechanism for
+        multi-hour fleets on the tunneled chip): a fleet killed after a
+        checkpoint and re-invoked must produce records identical to the
+        uninterrupted run — device state, stopper state, alive compaction,
+        and every seed's host rng stream all round-trip."""
+        from nonode_tpu.fleet_main import get_args as fleet_args, \
+            main as fleet_main
+        common = ["--model", "egno", "--dataset", "charged",
+                  "--data_dir", str(tiny_data), "--epochs", "8",
+                  "--test_interval", "1", "--batch_size", "8",
+                  "--max_samples", "24", "--traj_len", "1",
+                  "--seeds", "1,2", "--checkpoint_every", "3"]
+        ref = fleet_main(fleet_args(
+            [*common, "--outf", str(tmp_path / "straight")]))
+
+        with pytest.raises(RuntimeError, match="simulated wedge"):
+            fleet_main(fleet_args(
+                [*common, "--outf", str(tmp_path / "resumed"),
+                 "--_die_at_epoch", "4"]))
+        state = list((tmp_path / "resumed" / "0exp_fleet")
+                     .glob("fleet_state_*.pkl"))
+        assert len(state) == 1, "no mid-run state saved before the crash"
+        res = fleet_main(fleet_args(
+            [*common, "--outf", str(tmp_path / "resumed")]))
+        assert not state[0].exists(), "state not cleaned up after completion"
+
+        assert len(res) == len(ref) == 2
+        for a, b in zip(ref, res):
+            assert a["best_epoch"] == b["best_epoch"]
+            assert a["best_val_loss"] == b["best_val_loss"]
+            np.testing.assert_allclose(b["test_loss"], a["test_loss"],
+                                       rtol=1e-6)
