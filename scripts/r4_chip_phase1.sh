@@ -6,31 +6,22 @@
 #      datagen is bit-deterministic at seed 43 — round-3 evidence)
 #   2. BASE grid at reference protocol, resume: the only pending group is
 #      egno/charged/20 seeds 1-5 (VERDICT round-3 item 2 — back the
-#      published 0.0113 +- 0.0045 row with a committed ledger)
+#      published 0.0113 +- 0.0045 row with a committed ledger). The fleet
+#      checkpoints mid-run (--checkpoint_every) so a wedge kill costs at
+#      most ~50 epochs.
 #   3. regenerate the remaining canonical datasets for phase 2 (PRO grid)
+# Every python invocation runs under run_tpu (PID registered for the stall
+# killer, r4_stall_killer.sh).
 set -e
 cd "$(dirname "$0")/.."
+source scripts/r4_tpu_lib.sh
 
-# Probe with retries: a wedged probe re-arms the far-end session hold
-# (verify-skill runbook: budget a FULL 11 min after any killed client
-# before the next contact, and make that contact the probe itself).
-probe () {
-  for attempt in 1 2 3 4 5; do
-    echo "=== probe (attempt $attempt, $(date +%H:%M:%S)) ==="
-    if timeout 280 python -c "import jax,numpy as np,jax.numpy as jnp; print(np.asarray(jax.jit(lambda a:(a@a).sum())(jnp.ones((256,256)))))"; then
-      return 0
-    fi
-    echo "probe wedged; holding 680 s before the next attempt"
-    sleep 680
-  done
-  echo "chip unreachable after 5 probe attempts"; return 1
-}
 probe
 
 gen () {  # sim n_balls
   if [ ! -f "data/loc_train_${1}${2}_initvel1small.npy" ]; then
     echo "=== datagen $1 n=$2 ==="
-    python -m nonode_tpu.sim.generate --simulation "$1" --n_balls "$2" \
+    run_tpu python -m nonode_tpu.sim.generate --simulation "$1" --n_balls "$2" \
       --num-train 3000 --num-valid 2000 --num-test 2000 \
       --length 20000 --length_test 52000 --sample-freq 100 \
       --seed 43 --suffix small --outdir data
@@ -40,7 +31,7 @@ gen () {  # sim n_balls
 gen charged 20
 
 echo "=== BASE @ reference protocol: resume (pending: egno/charged/20) ==="
-python -m nonode_tpu.parallel.sweep --grid BASE --use_fleet \
+run_tpu python -m nonode_tpu.parallel.sweep --grid BASE --use_fleet \
   --schedule scripts/base_ref_schedule_r3b.yaml \
   --data_dir data --outf results/base_ref --epochs 1000 --batch_size 256
 

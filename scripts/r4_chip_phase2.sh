@@ -1,22 +1,11 @@
 #!/bin/bash
-# Round-4 chip phase 2: the FULL PRO grid at reference protocol
-# (VERDICT round-3 item 1). Serialized TPU work; resume-safe via the sweep
-# ledger; wedge-restart loop per the verify-skill runbook (long clients can
-# die after 45-90 min of sustained work — restart after an 11-min hold +
-# probe, the ledger skips completed cells).
+# Round-4 chip phase 2: short jobs (VERDICT items 3/4/5/9) then the FULL
+# PRO grid at reference protocol (VERDICT item 1). Serialized TPU work;
+# resume-safe via ledgers + fleet checkpoints; wedge-restart loops per the
+# verify-skill runbook, with every python client registered for the stall
+# killer (run_tpu).
 cd "$(dirname "$0")/.."
-
-probe () {
-  for attempt in 1 2 3 4 5; do
-    echo "=== probe (attempt $attempt, $(date +%H:%M:%S)) ==="
-    if timeout 280 python -c "import jax,numpy as np,jax.numpy as jnp; print(np.asarray(jax.jit(lambda a:(a@a).sum())(jnp.ones((256,256)))))"; then
-      return 0
-    fi
-    echo "probe wedged; holding 680 s"
-    sleep 680
-  done
-  echo "chip unreachable after 5 probe attempts"; return 1
-}
+source scripts/r4_tpu_lib.sh
 
 # Inherit the 12 PRO_HEADLINE cells already run at reference protocol
 # (results/pro_ref/sweep_PRO_HEADLINE.jsonl, round 3): same code path
@@ -44,21 +33,21 @@ if src.exists():
 print(f"inherited {n} PRO_HEADLINE rows into sweep_PRO.jsonl")
 EOF
 
-# Short jobs FIRST (VERDICT items 3/4/5/9, ~1.5 h total, all resume-safe):
-# the PRO grid then takes whatever chip time the round has left — its
-# ledger granularity makes a tail cutoff lose the least information
-# (SEGNO-charged cells run last and were protocol-insensitive in round 3).
+# Short jobs FIRST (~1.5 h total, all resume-safe): the PRO grid then takes
+# whatever chip time the round has left — its ledger granularity makes a
+# tail cutoff lose the least information (SEGNO-charged cells run last and
+# were protocol-insensitive in round 3).
 for attempt in 1 2 3; do
   echo "=== phase 3 short jobs (attempt $attempt, $(date)) ==="
-  if python scripts/r4_phase3.py; then break; fi
+  if run_tpu python scripts/r4_phase3.py; then break; fi
   echo "phase 3 died (attempt $attempt); 680 s hold, then probe"
   sleep 680
   probe || exit 1
 done
 
-for attempt in 1 2 3 4 5 6 7 8; do
+for attempt in 1 2 3 4 5 6 7 8 9 10 11 12; do
   echo "=== PRO grid @ reference protocol (attempt $attempt, $(date)) ==="
-  if python -m nonode_tpu.parallel.sweep --grid PRO --use_fleet \
+  if run_tpu python -m nonode_tpu.parallel.sweep --grid PRO --use_fleet \
       --schedule scripts/pro_ref_schedule.yaml \
       --data_dir data --outf results/pro_ref --epochs 1000 --batch_size 256; then
     echo "=== phase 2 done ($(date)) ==="
