@@ -67,6 +67,12 @@ def get_args(argv=None):
     parser.add_argument("--outf", type=Path, default="results")
     parser.add_argument("--remat", action="store_true",
                         help="gradient rematerialization (large N / big fleets)")
+    parser.add_argument("--precision", type=str, default="fp32",
+                        choices=["fp32", "bf16"],
+                        help="same semantics as the sequential driver "
+                             "(main.py): fp32 = physics-parity mode; bf16 = "
+                             "opt-in speed mode (fp32 master weights/Adam, "
+                             "bf16 fwd/bwd, fp32 loss)")
     parser.add_argument("--checkpoint_every", type=int, default=50,
                         help="save resumable fleet state every N epochs "
                              "(0 disables). Multi-hour fleets on the "
@@ -171,13 +177,17 @@ def main(args):
                      num_inputs=args.num_inputs, varDT=args.varDT,
                      with_v=cfg.with_v, flat=cfg.flat, norm=cfg.norm)
         exp = EGNOExperiment(model, lr=cfg.lr, weight_decay=cfg.weight_decay,
-                             remat=args.remat)
+                             remat=args.remat,
+                             compute_dtype=(jnp.bfloat16 if
+                                            args.precision == "bf16" else None))
     else:
         model = SEGNO(in_node_nf=cfg.in_node_nf, in_edge_nf=cfg.in_edge_nf,
                       hidden_nf=cfg.hidden_nf, n_layers=cfg.n_layers,
                       recurrent=cfg.recurrent, tanh=cfg.tanh)
         exp = SEGNOExperiment(model, num_timesteps=args.num_timesteps,
-                              lr=cfg.lr, weight_decay=cfg.weight_decay)
+                              lr=cfg.lr, weight_decay=cfg.weight_decay,
+                              compute_dtype=(jnp.bfloat16 if
+                                             args.precision == "bf16" else None))
     fleet = SeedFleet(exp, seeds)
     params, opt_state = fleet.init()
     best_params = jax.tree.map(jnp.copy, params)

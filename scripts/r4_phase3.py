@@ -52,28 +52,27 @@ def _append(path, row):
 
 
 def stage_bf16_quality():
-    from nonode_tpu.main import get_args, main
+    """3-seed fleets under --precision bf16, apples-to-apples with the fp32
+    base_ref rows (which were fleet-trained too, and fleet == sequential is
+    pinned by test)."""
+    from nonode_tpu.fleet_main import get_args, main
     ledger = ROOT / "results/bf16_quality/ledger.jsonl"
     done = _ledger_rows(ledger)
     for model in ("egno", "segno"):
-        for seed in (1, 2, 3):
-            key = f"{model}/charged/5/seed{seed}/bf16"
-            if key in done:
-                continue
-            print(f"=== bf16_quality {key} ===", flush=True)
-            t0 = time.time()
-            args = get_args([
-                "--model", model, "--dataset", "charged", "--n_balls", "5",
-                "--seed", str(seed), "--precision", "bf16",
-                "--epochs", "1000", "--batch_size", "256",
-                "--data_dir", str(ROOT / "data"),
-                "--outf", str(ROOT / "results/bf16_quality")])
-            best_val, test_loss, best_epoch = main(args)
-            _append(ledger, {
-                "key": key, "model": model, "seed": seed,
-                "precision": "bf16", "best_val_loss": float(best_val),
-                "test_loss": float(test_loss), "best_epoch": int(best_epoch),
-                "wall_s": round(time.time() - t0, 1)})
+        key = f"{model}/charged/5/seeds1-3/bf16"
+        if key in done:
+            continue
+        print(f"=== bf16_quality {key} ===", flush=True)
+        t0 = time.time()
+        records = main(get_args([
+            "--model", model, "--dataset", "charged", "--n_balls", "5",
+            "--seeds", "1,2,3", "--precision", "bf16",
+            "--epochs", "1000", "--batch_size", "256",
+            "--data_dir", str(ROOT / "data"),
+            "--outf", str(ROOT / "results/bf16_quality")]))
+        _append(ledger, {"key": key, "model": model, "precision": "bf16",
+                         "records": records,
+                         "wall_s": round(time.time() - t0, 1)})
 
 
 def stage_mocap():
