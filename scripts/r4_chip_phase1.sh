@@ -28,16 +28,18 @@ gen () {  # sim n_balls
   fi
 }
 
+# ALL datagen first (each ~1-4 min, bit-deterministic at seed 43): a wedge
+# or cutoff inside the multi-hour charged-20 fleet must never leave phase 2
+# (the PRO grid) blocked on missing datasets.
 gen charged 20
+gen charged 10
+gen gravity 5
+gen gravity 10
+gen gravity 20
 
 echo "=== BASE @ reference protocol: resume (pending: egno/charged/20) ==="
 run_tpu python -m nonode_tpu.parallel.sweep --grid BASE --use_fleet \
   --schedule scripts/base_ref_schedule_r3b.yaml \
   --data_dir data --outf results/base_ref --epochs 1000 --batch_size 256
-
-gen charged 10
-gen gravity 5
-gen gravity 10
-gen gravity 20
 
 echo "=== phase 1 done ==="

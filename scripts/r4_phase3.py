@@ -20,6 +20,10 @@ strictly serially on the one tunneled chip:
    latency-bound? Measure the train step at B = 256 / 1024 / 4096
    (sync-closed, device->host transfer closes the timing window) and record
    samples/s + achieved Tflop/s to results/segno_latency.json.
+5. bf16_eval_fp32 — follow-up to bf16_quality: the bf16-trained fp32 master
+   checkpoints re-evaluated with the DEFAULT fp32 rollout (main --only_test,
+   which bit-reproduces the ledgered test phase), isolating eval-precision
+   from trained-model quality in the rollout columns.
 
 Usage: python scripts/r4_phase3.py [--stages bf16_quality,mocap,...]
 """
@@ -178,9 +182,56 @@ def stage_segno_latency():
     path.write_text(json.dumps(rows, indent=2))
 
 
+def stage_bf16_eval_fp32():
+    """Re-run the test rollout of every bf16-trained seed under the DEFAULT
+    fp32 eval path (main --only_test, which bit-reproduces the ledgered test
+    phase — tests/test_driver.py). Checkpoints hold fp32 master weights (the
+    bf16 cast happens per-step inside _loss, train/loop.py:209-213), so this
+    isolates EVAL precision from trained quality in the rollout columns."""
+    import shutil
+    from nonode_tpu.main import get_args, main
+    from nonode_tpu.analysis.registry import artifact_stem
+    ledger = ROOT / "results/bf16_quality/fp32_eval_ledger.jsonl"
+    done = _ledger_rows(ledger)
+    src_dir = ROOT / "results/bf16_quality/0exp_fleet"
+    eval_dir = ROOT / "results/bf16_quality/fp32_eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    for model in ("egno", "segno"):
+        for seed in (1, 2, 3):
+            key = f"{model}/charged/5/seed{seed}/bf16train_fp32eval"
+            if key in done:
+                continue
+            stem = artifact_stem(model, "charged", seed, 5, num_inputs=1,
+                                 dT=1, varDT=False, num_timesteps=10)
+            src = src_dir / f"{stem}.ckpt"
+            if not src.exists():
+                print(f"skip {key}: no checkpoint {src}", flush=True)
+                continue
+            # copy into a separate exp dir so --only_test's artifact writes
+            # don't clobber the bf16-eval npz next to the original ckpt
+            shutil.copy2(src, eval_dir / f"{stem}.ckpt")
+            print(f"=== bf16_eval_fp32 {key} ===", flush=True)
+            t0 = time.time()
+            best_val, test_loss, _ = main(get_args([
+                "--model", model, "--dataset", "charged", "--n_balls", "5",
+                "--seed", str(seed), "--only_test", "true",
+                "--batch_size", "256",
+                "--data_dir", str(ROOT / "data"),
+                "--outf", str(ROOT / "results/bf16_quality"),
+                "--exp_name", "fp32_eval"]))
+            art = np.load(eval_dir / f"{stem}_results.npz")
+            _append(ledger, {
+                "key": key, "model": model, "seed": seed,
+                "test_loss": float(test_loss),
+                "finite_fraction": float(art["finite_fraction"]),
+                "test_loss_finite": float(art["test_loss_finite"]),
+                "wall_s": round(time.time() - t0, 1)})
+
+
 STAGES = {"bf16_quality": stage_bf16_quality, "mocap": stage_mocap,
           "stretch_drift": stage_stretch_drift,
-          "segno_latency": stage_segno_latency}
+          "segno_latency": stage_segno_latency,
+          "bf16_eval_fp32": stage_bf16_eval_fp32}
 
 
 def main():
