@@ -88,7 +88,10 @@ def build_report(results_dir, out_dir=None, exclude=("transplant*",)):
             "mse_mean": agg["mse_mean"].tolist(),
             "mse_std": agg["mse_std"].tolist(),
             "corr_mean": agg["corr_mean"].tolist(),
-            "energy_drift_mean": agg["energy_drift_mean"].tolist(),
+            # absent for energy-free artifacts (motion: the reference stores
+            # energy_conservation=None there, main_simulation_simple_no.py:380)
+            **({"energy_drift_mean": agg["energy_drift_mean"].tolist()}
+               if "energy_drift_mean" in agg else {}),
         }
         rows.append((key.replace("_", " "), agg["test_loss_mean"],
                      agg["test_loss_std"]))

@@ -189,11 +189,17 @@ def analyze_group(artifact_paths):
         mses.append(mse_per_timestep(a["targets"], a["preds"]))
         maes.append(mae_per_timestep(a["targets"], a["preds"]))
         corrs.append(correlation_per_timestep(a["targets"], a["preds"]))
-        drifts.append(energy_drift_per_timestep(a["energy_conservation"]))
+        # motion artifacts carry no energy: the reference stores
+        # energy_conservation=None when the dataset has no energy_fun
+        # (main_simulation_simple_no.py:380) — mirror that as a missing key
+        if "energy_conservation" in a:
+            drifts.append(energy_drift_per_timestep(a["energy_conservation"]))
         test_losses.append(float(a["test_loss"]))
     out = {}
     for name, curves in [("mse", mses), ("mae", maes), ("corr", corrs),
                          ("energy_drift", drifts)]:
+        if not curves:        # energy-free artifacts (motion)
+            continue
         mean, std = mean_std_over_seeds(curves)
         out[f"{name}_mean"], out[f"{name}_std"] = mean, std
     out["test_loss_mean"] = float(np.mean(test_losses))

@@ -167,13 +167,21 @@ def stage_segno_latency():
             nonlocal params, opt_state
             params, opt_state, losses = exp.train_epoch(
                 params, opt_state, arrays, perm, frames, in_steps)
-            return np.asarray(losses)[-1]   # device->host sync closes timing
+            return losses
 
-        run()                                # compile
-        reps = 5
+        np.asarray(run())                    # compile + warm transfer
+        # ONE device->host transfer per timed block: a per-epoch sync costs
+        # a ~30 ms tunnel roundtrip, which at nb=1 epoch/step would dominate
+        # the step time and at nb=11 would add ~3 ms/step — the round-3
+        # measurement made exactly that mistake (the three batch sizes had
+        # 11/2/1 steps per epoch, so the sync share differed 11x per row
+        # and the 'flat samples/s' read was an artifact).
+        reps = 10
         t0 = time.time()
+        losses = None
         for _ in range(reps):
-            run()
+            losses = run()
+        np.asarray(losses)                   # closes the async timing window
         dt = (time.time() - t0) / reps / nb  # per step
         rows.append({"batch": b, "steps_per_epoch": int(nb),
                      "step_ms": round(dt * 1e3, 3),

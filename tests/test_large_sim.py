@@ -58,3 +58,46 @@ class TestLargeNCharged:
         k_scale = float(0.5 * (vel[0] ** 2).sum())
         drift = float(jnp.abs(e - e[0]).max()) / k_scale
         assert np.isfinite(drift) and drift < 0.5
+
+    def test_energy_drift_1000_body_full_20k(self):
+        """The BASELINE.md stretch config at FULL length: 1000 charged
+        bodies, Pallas-fused kernels, 20k leapfrog steps, energy on all 199
+        saved frames (reference oracle |Et-E0|/(E0+1e-10),
+        /root/reference/utils.py:221-243).
+
+        The drift envelope is O(1) on the kinetic scale BY PHYSICS, not by
+        implementation: the reference's deliberate per-component force clip
+        (synthetic_sim.py:261-262) is non-Hamiltonian, and clip events
+        dominate long-horizon drift at high pair density. Controls
+        (results/stretch/*, RESULTS.md): N=5 has 0 clip-steps in 20k and
+        final drift ~0.1%; N=20 has ~130 clip-steps and O(1) drift in
+        FLOAT64 NumPy as well (same ICs, f32 vs f64 final drift 1.77 vs
+        1.79); the reference itself cannot run N=1000 (its init-clamp
+        assert trips, synthetic_sim.py:202-216). So the assertion is the
+        recorded envelope, not machine-epsilon conservation."""
+        if INTERPRET:
+            pytest.skip("20k-step 1000-body kernel run is TPU-only")
+        sim = LargeNChargedSim(n_balls=1000)
+        loc, vel, edges, q = sim.sample_trajectory(jax.random.PRNGKey(2),
+                                                   T=20000, sample_freq=100)
+        assert loc.shape[0] == 199
+        loc64 = np.asarray(loc, np.float64)
+        vel64 = np.asarray(vel, np.float64)
+        edges64 = np.asarray(edges, np.float64)
+        # f64 energy evaluation on host: removes eval-precision confound
+        iu = ~np.eye(1000, dtype=bool)
+        es = []
+        for i in range(loc64.shape[0]):
+            d = loc64[i][:, None, :] - loc64[i][None, :, :]
+            r = np.sqrt((d * d).sum(-1))
+            es.append(0.5 * (vel64[i] ** 2).sum()
+                      + 0.5 * (edges64[iu] / r[iu]).sum())
+        es = np.array(es)
+        assert np.isfinite(es).all()
+        k_scale = 0.5 * (vel64[0] ** 2).sum()
+        drift_k = np.abs(es - es[0]) / k_scale
+        # recorded run (results/stretch/drift_1000body_20k.json): max 2.05.
+        # Bound at 2x the f64-control envelope — catches integrator/kernel
+        # regressions (which blow up to inf/1e2+) while admitting the
+        # clip-event physics.
+        assert drift_k.max() < 5.0
