@@ -357,11 +357,59 @@ def bench_large_n():
             "analytic_tflops": round(22 * pairs_per_s / 1e12, 3)}
 
 
+def _live_registered_tpu_job():
+    """PID of a live round-runner TPU client (scripts/r4_tpu_lib.sh run_tpu
+    registers multi-hour sweep clients at /tmp/r4_tpu_job.pid), else None.
+
+    Two concurrent clients on the tunneled chip wedge one silently (verify
+    skill runbook), so bench must not contend with a registered sweep."""
+    import os
+    import pathlib
+    pidfile = pathlib.Path(os.environ.get("BENCH_TPU_PIDFILE",
+                                          "/tmp/r4_tpu_job.pid"))
+    try:
+        pid = int(pidfile.read_text().strip())
+        os.kill(pid, 0)  # liveness, no signal delivered
+        cmdline = pathlib.Path(f"/proc/{pid}/cmdline").read_bytes()
+        if b"python" in cmdline:
+            return pid
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _cached_headline(pid):
+    """Replay the last recorded headline instead of wedging the tunnel."""
+    import pathlib
+    out = pathlib.Path(__file__).resolve().parent / "results"
+    for src in (out / "bench_headline.json", out / "bench_full.json"):
+        try:
+            data = json.load(open(src))
+            row = data[-1] if isinstance(data, list) else data
+            if row.get("metric") == "egno_train_throughput":
+                row["cached"] = True
+                row["note"] = (f"chip busy: registered TPU client pid={pid} "
+                               f"(multi-hour sweep) is live; a second client "
+                               f"wedges the axon tunnel, so this replays the "
+                               f"last recorded headline from {src.name}")
+                return row
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="reproduce every RESULTS.md wall-clock row")
     args = ap.parse_args()
+
+    pid = _live_registered_tpu_job()
+    if pid is not None:
+        row = _cached_headline(pid)
+        if row is not None:
+            print(json.dumps(row))
+            return
 
     if args.full:
         results = []
@@ -384,7 +432,13 @@ def main():
             json.dump(results, f, indent=2)
         print(json.dumps(headline))
     else:
-        print(json.dumps(bench_egno_step()))
+        headline = bench_egno_step()
+        import pathlib
+        out = pathlib.Path(__file__).resolve().parent / "results"
+        out.mkdir(exist_ok=True)
+        with open(out / "bench_headline.json", "w") as f:
+            json.dump(headline, f, indent=2)
+        print(json.dumps(headline))
 
 
 if __name__ == "__main__":
