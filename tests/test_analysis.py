@@ -118,6 +118,28 @@ class TestAnalysis:
         t = latex_table([("egno charged-5", 0.0123, 0.002)])
         assert r"\begin{table}" in t and "0.0123" in t
 
+    def test_short_horizon_loss_bound_mult(self):
+        """bound_mult scales the converged-range heuristic (the 10x rule
+        from loop.py _finite_metrics): a sample whose excursion sits
+        between 3x and 30x the target range flips classification exactly
+        there — what scripts/bound_sensitivity.py sweeps over the
+        committed grids."""
+        targets = np.ones((4, 10, 5, 3))          # target range max = 1
+        preds = np.ones((4, 10, 5, 3))
+        preds[2, 5] = 12.0                        # 12x: inside 30x, outside 10x/3x
+        preds[3, 5] = 5.0                         # 5x: inside 10x/30x, outside 3x
+        ffs = {m: short_horizon_loss({"targets": targets, "preds": preds},
+                                     h_frames=10, bound_mult=m)[2]
+               for m in (3.0, 10.0, 30.0)}
+        assert np.isclose(ffs[3.0], 0.5)
+        assert np.isclose(ffs[10.0], 0.75)
+        assert np.isclose(ffs[30.0], 1.0)
+        # the bound floors at max(range, 1): tiny-coordinate targets don't
+        # shrink the window below bound_mult itself
+        small = {"targets": targets * 1e-3, "preds": preds * 1e-3}
+        assert np.isclose(short_horizon_loss(small, h_frames=10,
+                                             bound_mult=3.0)[2], 1.0)
+
     def test_roundtrip(self, artifacts):
         a = load_artifact(artifacts[0])
         assert set(a) == {"targets", "preds", "energy_conservation",
