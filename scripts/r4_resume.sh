@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-4 resume chain after a machine restart: probe the chip (wedge-safe
+# holds per the verify-skill runbook), then resume the PRO grid at the
+# reference protocol from its ledger, then run the tail headline-cell regen.
+# Phase-3 short jobs and phase 1 are already complete (committed evidence),
+# so this is the remainder of scripts/r4_chip_phase2.sh + r4_chip_tail.sh.
+cd "$(dirname "$0")/.."
+source scripts/r4_tpu_lib.sh
+
+probe || exit 1
+
+LEDGER=results/pro_ref/sweep_PRO.jsonl
+for attempt in $(seq 1 20); do
+  echo "=== PRO grid @ reference protocol (resume attempt $attempt, $(date)) ==="
+  if run_tpu python -m nonode_tpu.parallel.sweep --grid PRO --use_fleet \
+      --schedule scripts/pro_ref_schedule.yaml \
+      --data_dir data --outf results/pro_ref --epochs 1000 --batch_size 256; then
+    echo "=== PRO grid done: $(wc -l < "$LEDGER") rows ($(date)) ==="
+    break
+  fi
+  echo "sweep died (attempt $attempt); 680 s hold, then probe, then resume"
+  sleep 680
+  probe || exit 1
+done
+
+rows=$(wc -l < "$LEDGER")
+if [ "$rows" -lt 96 ]; then
+  echo "resume chain exiting with only $rows/96 rows"
+  exit 1
+fi
+
+# Tail: drop the 12 inherited HEADLINE rows and regenerate them through the
+# sequential driver so their npz artifacts exist (see r4_chip_tail.sh).
+python - <<'EOF'
+import json
+from pathlib import Path
+p = Path("results/pro_ref/sweep_PRO.jsonl")
+rows = [json.loads(l) for l in p.read_text().splitlines()]
+keep = [r for r in rows if "inherited_from" not in r]
+print(f"tail: dropped {len(rows) - len(keep)} inherited rows ({len(keep)} remain)")
+p.write_text("".join(json.dumps(r) + "\n" for r in keep))
+EOF
+
+for attempt in 1 2 3 4; do
+  echo "=== tail: headline-cell regen (attempt $attempt, $(date)) ==="
+  if run_tpu python -m nonode_tpu.parallel.sweep --grid PRO --use_fleet \
+      --schedule scripts/pro_ref_schedule.yaml \
+      --data_dir data --outf results/pro_ref --epochs 1000 --batch_size 256; then
+    echo "=== tail done: $(wc -l < "$LEDGER") rows ($(date)) ==="
+    exit 0
+  fi
+  echo "tail sweep died (attempt $attempt); 680 s hold, then probe"
+  sleep 680
+  probe || exit 1
+done
+echo "tail exhausted restart attempts"; exit 1
