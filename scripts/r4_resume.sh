@@ -9,6 +9,23 @@ source scripts/r4_tpu_lib.sh
 
 probe || exit 1
 
+# The machine reset wiped gitignored data/ again — regenerate the PRO-grid
+# datasets first (bit-deterministic at seed 43, round-3 evidence; each
+# ~1-4 min on chip). PRO needs {charged,gravity} x {5,10}; the 20-ball
+# sets are regenerated last, opportunistically, for analysis reruns.
+gen () {  # sim n_balls
+  if [ ! -f "data/loc_train_${1}${2}_initvel1small.npy" ]; then
+    echo "=== datagen $1 n=$2 ($(date +%H:%M:%S)) ==="
+    run_tpu python -m nonode_tpu.sim.generate --simulation "$1" --n_balls "$2" \
+      --num-train 3000 --num-valid 2000 --num-test 2000 \
+      --length 20000 --length_test 52000 --sample-freq 100 \
+      --seed 43 --suffix small --outdir data
+  fi
+}
+gen gravity 5
+gen gravity 10
+gen charged 10
+
 LEDGER=results/pro_ref/sweep_PRO.jsonl
 for attempt in $(seq 1 20); do
   echo "=== PRO grid @ reference protocol (resume attempt $attempt, $(date)) ==="
