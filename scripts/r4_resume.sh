@@ -14,7 +14,11 @@ probe || exit 1
 # ~1-4 min on chip). PRO needs {charged,gravity} x {5,10}; the 20-ball
 # sets are regenerated last, opportunistically, for analysis reruns.
 gen () {  # sim n_balls
-  if [ ! -f "data/loc_train_${1}${2}_initvel1small.npy" ]; then
+  # Guard on the TEST split (written last): a run killed mid-datagen leaves
+  # the train files behind, and a train-only guard would skip the regen and
+  # crash the sweep on the first cell of that dataset. Datagen is
+  # bit-deterministic at seed 43, so regenerating all splits is safe.
+  if [ ! -f "data/loc_test_${1}${2}_initvel1small.npy" ]; then
     echo "=== datagen $1 n=$2 ($(date +%H:%M:%S)) ==="
     run_tpu python -m nonode_tpu.sim.generate --simulation "$1" --n_balls "$2" \
       --num-train 3000 --num-valid 2000 --num-test 2000 \
