@@ -140,6 +140,38 @@ class TestAnalysis:
         assert np.isclose(short_horizon_loss(small, h_frames=10,
                                              bound_mult=3.0)[2], 1.0)
 
+    def test_bound_sensitivity_matches_finite_metrics(self):
+        """scripts/bound_sensitivity.full_horizon_finite recomputes the
+        _finite_metrics (train/loop.py) converged-range rule from a stored
+        artifact; the two implementations must agree at every swept bound,
+        or the published robustness note would sweep a *different* rule
+        than the finite-fraction columns it vouches for."""
+        import importlib.util
+        from pathlib import Path
+
+        from nonode_tpu.train.loop import _finite_metrics
+
+        spec = importlib.util.spec_from_file_location(
+            "bound_sensitivity",
+            Path(__file__).resolve().parent.parent
+            / "scripts" / "bound_sensitivity.py")
+        bs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bs)
+
+        rng = np.random.RandomState(7)
+        targets = rng.randn(6, 12, 5, 3).astype(np.float32)
+        preds = targets + 0.1
+        preds[0, 4] = 1e9                       # diverged at every bound
+        bound_3x = 3.0 * max(float(np.abs(targets).max()), 1.0)
+        preds[1, 7] = bound_3x + 1e-3           # just past 3x, inside 10x
+        preds[2, 2] = np.nan                    # non-finite
+        art = {"targets": targets, "preds": preds}
+        for m in (3.0, 10.0, 30.0):
+            assert bs.full_horizon_finite(art, m) == \
+                _finite_metrics(art, bound_mult=m)["finite_fraction"]
+        assert bs.full_horizon_finite(art, 3.0) < \
+            bs.full_horizon_finite(art, 10.0)
+
     def test_roundtrip(self, artifacts):
         a = load_artifact(artifacts[0])
         assert set(a) == {"targets", "preds", "energy_conservation",
