@@ -8,13 +8,22 @@
 # (by pid file, NEVER by pattern). The phase scripts' retry loops then hold
 # 680 s, probe, and resume from their ledgers / fleet checkpoints.
 #
-# The CPU-time condition is what separates a true wedge (field notes: 0%
-# CPU forever) from a long remote compile: the N=20 remat fleet's resume
-# compile runs >20 min with no log output, but its client keeps accruing
-# CPU ticks. Log-growth alone killed healthy compiles.
+# The CPU-time condition is what separates a true wedge from a long remote
+# compile: the N=20 remat fleet's resume compile runs >20 min with no log
+# output, but its client keeps accruing CPU ticks. Log-growth alone killed
+# healthy compiles.
+#
+# Round-4 field note: a wedged client is NOT exactly 0% CPU — background
+# threads trickle ~1-2 jiffies/min (measured: 1 jiffy / 30 s on a client
+# whose log had been frozen 37 min at epoch 5), which reset the original
+# exact-equality check forever and the killer never fired. The wedge test
+# is now a RATE threshold: over the stall window the client must accrue
+# at least WEDGE_JIFFIES (default 150 ≈ 1.5 s CPU per 15 min, i.e. 0.17%
+# CPU) to count as alive; a healthy compile burns orders of magnitude more.
 STALL_S=${STALL_S:-900}
-last_cpu=""
-last_cpu_change=0
+WEDGE_JIFFIES=${WEDGE_JIFFIES:-150}
+anchor_cpu=""
+anchor_t=0
 last_pid=""
 while true; do
   sleep 60
@@ -26,10 +35,17 @@ while true; do
   # cumulative CPU time in jiffies from /proc (utime+stime), robust to ps
   # TIME granularity
   cpu=$(awk '{print $14 + $15}' "/proc/$pid/stat" 2>/dev/null)
-  if [ "$pid" != "$last_pid" ] || [ "$cpu" != "$last_cpu" ]; then
-    last_pid="$pid"; last_cpu="$cpu"; last_cpu_change=$now
+  [ -n "$cpu" ] || continue
+  if [ "$pid" != "$last_pid" ]; then
+    last_pid="$pid"; anchor_cpu="$cpu"; anchor_t=$now
+    continue
   fi
-  cpu_age=$(( now - last_cpu_change ))
+  # slide the anchor forward whenever the client proves it's alive, so a
+  # healthy phase never accumulates a stale window
+  if [ $(( cpu - anchor_cpu )) -ge "$WEDGE_JIFFIES" ]; then
+    anchor_cpu="$cpu"; anchor_t=$now
+  fi
+  cpu_age=$(( now - anchor_t ))
   newest=0
   for log in /tmp/r4_phase1.log /tmp/r4_phase2.log; do
     [ -f "$log" ] || continue
