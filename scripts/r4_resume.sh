@@ -26,6 +26,7 @@ gen () {  # sim n_balls
       --seed 43 --suffix small --outdir data
   fi
 }
+gen charged 5
 gen gravity 5
 gen gravity 10
 gen charged 10
@@ -44,7 +45,7 @@ for attempt in $(seq 1 20); do
   probe || exit 1
 done
 
-rows=$(wc -l < "$LEDGER")
+rows=$(wc -l < "$LEDGER" 2>/dev/null || echo 0)
 if [ "$rows" -lt 96 ]; then
   echo "resume chain exiting with only $rows/96 rows"
   exit 1
@@ -53,13 +54,16 @@ fi
 # Tail: drop the 12 inherited HEADLINE rows and regenerate them through the
 # sequential driver so their npz artifacts exist (see r4_chip_tail.sh).
 python - <<'EOF'
-import json
+import json, os
 from pathlib import Path
 p = Path("results/pro_ref/sweep_PRO.jsonl")
 rows = [json.loads(l) for l in p.read_text().splitlines()]
 keep = [r for r in rows if "inherited_from" not in r]
 print(f"tail: dropped {len(rows) - len(keep)} inherited rows ({len(keep)} remain)")
-p.write_text("".join(json.dumps(r) + "\n" for r in keep))
+# atomic replace: a crash mid-write must not truncate the round's primary ledger
+tmp = p.with_suffix(".jsonl.tmp")
+tmp.write_text("".join(json.dumps(r) + "\n" for r in keep))
+os.replace(tmp, p)
 EOF
 
 for attempt in 1 2 3 4; do

@@ -47,7 +47,7 @@ while true; do
   fi
   cpu_age=$(( now - anchor_t ))
   newest=0
-  for log in /tmp/r4_phase1.log /tmp/r4_phase2.log; do
+  for log in ${WATCH_LOGS:-/tmp/r4_phase1.log /tmp/r4_phase2.log /tmp/r5_chain.log}; do
     [ -f "$log" ] || continue
     m=$(stat -c %Y "$log")
     [ "$m" -gt "$newest" ] && newest=$m
