@@ -150,13 +150,21 @@ def _measure_epoch(exp, params, opt_state, arrays, idx_arrays, perm, reps):
 
 
 def bench_egno_step(b=256):
-    """Headline: canonical EGNO train-step throughput + MFU."""
+    """Headline: canonical EGNO train-step throughput + MFU.
+
+    `value` stays the fp32-HIGHEST number — the physics-parity default.
+    The `bf16_*` context keys record the validated opt-in speed mode at
+    the SAME canonical shape (`--precision bf16`): EGNO's trained quality
+    under bf16 is gated "matched" by the 3-seed protocol fleets
+    (RESULTS.md «bf16 speed mode: trained quality»; SEGNO is NOT gated,
+    so no SEGNO bf16 key is published). The one-JSON-line driver contract
+    allows extra keys (mfu/step_ms already ride along)."""
     exp, params, opt_state, arrays, idx_arrays, perm = _egno_setup(b=b)
     dt, flops_step = _measure_epoch(exp, params, opt_state, arrays,
                                     idx_arrays, perm, reps=40)
     peak, kind = _peak_flops()
     mfu = (flops_step / dt / peak) if (peak and flops_step) else None
-    return {
+    row = {
         "metric": "egno_train_throughput",
         "value": round(b / dt, 1),
         "unit": "samples/s",
@@ -166,6 +174,18 @@ def bench_egno_step(b=256):
         "mfu": round(mfu, 6) if mfu is not None else None,
         "device": kind,
     }
+    try:
+        exp, params, opt_state, arrays, idx_arrays, perm = _egno_setup(
+            b=b, compute_dtype=jnp.bfloat16)
+        dt_bf, flops_bf = _measure_epoch(exp, params, opt_state, arrays,
+                                         idx_arrays, perm, reps=40)
+        row["bf16_samples_per_s"] = round(b / dt_bf, 1)
+        row["bf16_step_ms"] = round(dt_bf * 1e3, 4)
+        row["bf16_mfu"] = (round(flops_bf / dt_bf / peak, 6)
+                           if peak and flops_bf else None)
+    except Exception as e:   # the fp32 headline must survive a bf16 failure
+        row["bf16_error"] = str(e)[:200]
+    return row
 
 
 def bench_compute_bound():

@@ -125,15 +125,20 @@ def seeds_for(cfg, model, side):
 
 def stem(model, seed, cfg):
     from nonode_tpu.analysis.registry import artifact_stem
-    return artifact_stem(model, cfg.dataset, seed, cfg.n_balls)
+    return artifact_stem(model, cfg.dataset, seed, cfg.n_balls,
+                         num_inputs=cfg.num_inputs, varDT=cfg.varDT)
 
 
 def common_argv(cfg, seed, outf):
+    # --num_inputs/--varDT are the SAME flags on both CLIs (the reference
+    # main.py:60-62 and nonode_tpu.main) — the PRO anchor passes them
+    # through verbatim so the two sides train the same cell.
     return ["--dataset", cfg.dataset, "--n_balls", str(cfg.n_balls),
             "--data_dir", str(cfg.data_dir),
             "--epochs", str(cfg.epochs), "--test_interval", "5",
             "--batch_size", str(cfg.batch_size),
             "--max_samples", str(cfg.max_samples),
+            "--num_inputs", str(cfg.num_inputs), "--varDT", str(cfg.varDT),
             "--traj_len", str(cfg.traj_len), "--seed", str(seed),
             "--outf", str(outf)]
 
@@ -238,6 +243,39 @@ def fmt_curve(c, k=8):
     return " ".join(f"{v:.3g}" for v in np.asarray(c)[:k])
 
 
+def two_sided_checks(gr, gj):
+    """The anchor's two-sided tolerance rule (see write_report for the
+    prose statement), computed on a (ref, jax) group pair. Shared with the
+    PRO-cell combiner (scripts/parity_pro.py) so the rule has exactly one
+    implementation."""
+    k = min(len(gr["mse_mean"]), len(gj["mse_mean"]))
+    ratio = np.asarray(gj["mse_mean"][:k]) / np.asarray(gr["mse_mean"][:k])
+    lratio = np.log(ratio)
+    geo = float(np.exp(lratio.mean()))
+    hi = 2.0 * float(np.max(gr["test_losses"]))
+    checks = {
+        "upper": gj["test_loss_mean"] <= hi,
+        "band": 0.5 <= geo <= 2.0,
+        "one_sided": not (
+            (max((ratio < 1).mean(), (ratio > 1).mean()) >= 0.9)
+            and not (2 / 3 <= geo <= 1.5)),
+        "tail": all(
+            1 / 3 <= np.exp(lratio[i:i + 4].mean()) <= 3
+            for i in range(max(1, k - 3))),
+    }
+    head = max(1, int(0.6 * k))
+    sig_stats = {
+        "geo": geo,
+        "head_geo": float(np.exp(lratio[:head].mean())),
+        "tail_worst": max(
+            float(np.exp(lratio[i:i + 4].mean()))
+            for i in range(max(1, k - 3))),
+    }
+    return {"k": k, "ratio": ratio, "lratio": lratio, "geo": geo,
+            "checks": checks, "sig_stats": sig_stats, "hi": hi,
+            "tl_ratio": gj["test_loss_mean"] / gr["test_loss_mean"]}
+
+
 def write_report(cfg, groups, fig_paths, wallclocks):
     lines = [
         "# PARITY_E2E — end-to-end trained parity vs the torch reference",
@@ -247,6 +285,7 @@ def write_report(cfg, groups, fig_paths, wallclocks):
         f"({cfg.length} sim steps -> {cfg.length // 100 - 1} frames), "
         f"batch {cfg.batch_size}, <= {cfg.epochs} epochs, test_interval 5, "
         f"early-stop patience 15, traj_len {cfg.traj_len}, T=10, "
+        f"num_inputs {cfg.num_inputs}, varDT {cfg.varDT}, "
         "model_confs.yaml hyperparameters on both sides. Same repo-generated "
         "`.npy` data consumed by both. Reference: /root/reference/main.py "
         "run UNMODIFIED on CPU torch (seeds "
@@ -340,36 +379,20 @@ def write_report(cfg, groups, fig_paths, wallclocks):
     flagged = []
     for model in cfg.models:
         gr, gj = groups[("ref", model)], groups[("jax", model)]
-        k = min(len(gr["mse_mean"]), len(gj["mse_mean"]))
-        ratio = np.asarray(gj["mse_mean"][:k]) / np.asarray(gr["mse_mean"][:k])
-        lratio = np.log(ratio)
-        geo = float(np.exp(lratio.mean()))
-        tl_ratio = gj["test_loss_mean"] / gr["test_loss_mean"]
-        hi = 2.0 * float(np.max(gr["test_losses"]))
-        checks = {
-            "upper": gj["test_loss_mean"] <= hi,
-            "band": 0.5 <= geo <= 2.0,
-            "one_sided": not (
-                (max((ratio < 1).mean(), (ratio > 1).mean()) >= 0.9)
-                and not (2 / 3 <= geo <= 1.5)),
-            "tail": all(
-                1 / 3 <= np.exp(lratio[i:i + 4].mean()) <= 3
-                for i in range(max(1, k - 3))),
-        }
+        ev = two_sided_checks(gr, gj)
+        k, ratio, lratio = ev["k"], ev["ratio"], ev["lratio"]
+        geo, checks, sig_stats = ev["geo"], ev["checks"], ev["sig_stats"]
+        tl_ratio, hi = ev["tl_ratio"], ev["hi"]
         ok = all(checks.values())
         failed = [c for c, v in checks.items() if not v]
         entry = ROOT_CAUSES.get((cfg.dataset, model))
         cause = None
-        head = max(1, int(0.6 * k))
-        sig_stats = {
-            "geo": geo,
-            "head_geo": float(np.exp(lratio[:head].mean())),
-            "tail_worst": max(
-                float(np.exp(lratio[i:i + 4].mean()))
-                for i in range(max(1, k - 3))),
-        }
+        # adjudications were derived at single-input fixed-dT anchors — a
+        # PRO cell (multi-input / varDT) must not inherit them
         if entry is not None and set(failed) <= entry["checks"] \
                 and cfg.n_balls == entry["n_balls"] \
+                and cfg.num_inputs == entry.get("num_inputs", 1) \
+                and cfg.varDT == entry.get("varDT", False) \
                 and entry["signature"](sig_stats):
             cause = entry["cause"]
         if ok:
@@ -445,8 +468,8 @@ def write_report(cfg, groups, fig_paths, wallclocks):
         "reference at batch 256).",
     ]
     # keep the original charged report path; per-dataset reports otherwise
-    name = ("PARITY_E2E.md" if cfg.dataset == "charged"
-            else f"PARITY_E2E_{cfg.dataset}.md")
+    name = cfg.report or ("PARITY_E2E.md" if cfg.dataset == "charged"
+                          else f"PARITY_E2E_{cfg.dataset}.md")
     (REPO / name).write_text("\n".join(lines) + "\n")
     print(f"wrote {name}")
 
@@ -465,6 +488,17 @@ def main():
     ap.add_argument("--n_test", type=int, default=200)
     ap.add_argument("--length", type=int, default=10000)
     ap.add_argument("--traj_len", type=int, default=4)
+    ap.add_argument("--num_inputs", type=int, default=1)
+    ap.add_argument("--varDT", default=False,
+                    type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
+    ap.add_argument("--sides", default="ref,jax",
+                    help="comma subset of ref,jax — run only those training "
+                    "sides (e.g. the CPU-only ref side while the chip is "
+                    "busy); the report is only written when both sides' "
+                    "artifacts exist")
+    ap.add_argument("--report", default=None,
+                    help="report filename override (default: PARITY_E2E.md "
+                    "for charged, PARITY_E2E_<dataset>.md otherwise)")
     ap.add_argument("--models", nargs="+", default=["egno", "segno"])
     ap.add_argument("--ref_seeds", type=int, nargs="+", default=[1, 2, 3])
     ap.add_argument("--jax_seeds", type=int, nargs="+", default=[1, 2, 3])
@@ -484,11 +518,15 @@ def main():
     # old artifacts under a new report header. Pin the anchor config on
     # first run; refuse to resume under a different one.
     prov_keys = ("dataset", "n_balls", "epochs", "batch_size", "max_samples",
-                 "n_train", "n_valid", "n_test", "length", "traj_len")
+                 "n_train", "n_valid", "n_test", "length", "traj_len",
+                 "num_inputs", "varDT")
     prov = {k: getattr(cfg, k) for k in prov_keys}
     prov_path = cfg.workdir / "anchor_config.json"
     if prov_path.exists():
         saved = json.loads(prov_path.read_text())
+        # pre-PRO sidecars predate the num_inputs/varDT keys; they pinned
+        # the implicit defaults
+        saved = {"num_inputs": 1, "varDT": False} | saved
         if saved != prov:
             diff = {k: (saved.get(k), prov[k]) for k in prov_keys
                     if saved.get(k) != prov[k]}
@@ -501,14 +539,22 @@ def main():
 
     ensure_data(cfg)
 
+    sides = [s.strip() for s in cfg.sides.split(",") if s.strip()]
     arts = {}
     for model in cfg.models:
-        for seed in seeds_for(cfg, model, "ref"):
-            arts.setdefault(("ref", model), []).append(
-                run_reference_side(cfg, model, seed))
-        for seed in seeds_for(cfg, model, "jax"):
-            arts.setdefault(("jax", model), []).append(
-                run_jax_side(cfg, model, seed))
+        if "ref" in sides:
+            for seed in seeds_for(cfg, model, "ref"):
+                arts.setdefault(("ref", model), []).append(
+                    run_reference_side(cfg, model, seed))
+        if "jax" in sides:
+            for seed in seeds_for(cfg, model, "jax"):
+                arts.setdefault(("jax", model), []).append(
+                    run_jax_side(cfg, model, seed))
+    if not all(("ref", m) in arts and ("jax", m) in arts
+               for m in cfg.models):
+        print(f"sides={sides}: one-sided run complete; report skipped "
+              "(rerun with --sides ref,jax once both sides exist)")
+        return
     saved = load_wallclocks(cfg)
     wallclocks = {key: saved.get(key)
                   for model in cfg.models
