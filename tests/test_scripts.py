@@ -30,6 +30,7 @@ class TestCommonArgv:
         mod = _load_parity_e2e()
         cfg = SimpleNamespace(dataset="gravity", n_balls=10, epochs=7,
                               batch_size=25, max_samples=123, traj_len=3,
+                              num_inputs=2, varDT=True,
                               data_dir=Path("/tmp/anchor/data"))
         argv = mod.common_argv(cfg, seed=9, outf=Path("/tmp/anchor/out"))
         got = dict(zip(argv[::2], argv[1::2]))
@@ -37,7 +38,8 @@ class TestCommonArgv:
             "--dataset": "gravity", "--n_balls": "10",
             "--data_dir": "/tmp/anchor/data", "--epochs": "7",
             "--test_interval": "5", "--batch_size": "25",
-            "--max_samples": "123", "--traj_len": "3", "--seed": "9",
+            "--max_samples": "123", "--num_inputs": "2", "--varDT": "True",
+            "--traj_len": "3", "--seed": "9",
             "--outf": "/tmp/anchor/out"}
 
     def test_both_drivers_accept_the_argv(self):
@@ -46,11 +48,53 @@ class TestCommonArgv:
         mod = _load_parity_e2e()
         cfg = SimpleNamespace(dataset="charged", n_balls=5, epochs=2,
                               batch_size=10, max_samples=50, traj_len=2,
+                              num_inputs=2, varDT=True,
                               data_dir=Path("/tmp/d"))
         argv = mod.common_argv(cfg, seed=1, outf=Path("/tmp/o"))
         from nonode_tpu.main import get_args
         args = get_args(["--model", "segno"] + argv)
         assert args.n_balls == 5 and args.dataset == "charged"
+        assert args.num_inputs == 2 and args.varDT is True
+
+
+class TestTwoSidedChecks:
+    """Pin the shared two-sided tolerance rule (parity_e2e.two_sided_checks,
+    reused by scripts/parity_pro.py) — matched groups must pass all four
+    checks, a 10x-worse jax side must fail band+upper, and a tail-only
+    spike must fail tail while head stays clean."""
+
+    def test_matched_groups_pass(self):
+        mod = _load_parity_e2e()
+        gr = {"mse_mean": [1.0, 2.0, 3.0, 4.0], "test_losses": [0.5, 0.6],
+              "test_loss_mean": 0.55}
+        gj = {"mse_mean": [1.1, 2.1, 2.9, 4.2], "test_losses": [0.5, 0.7],
+              "test_loss_mean": 0.6}
+        ev = mod.two_sided_checks(gr, gj)
+        assert all(ev["checks"].values())
+        assert abs(ev["geo"] - 1.0) < 0.1
+
+    def test_uniform_10x_fails_band_and_upper(self):
+        mod = _load_parity_e2e()
+        gr = {"mse_mean": [1.0, 2.0, 3.0, 4.0], "test_losses": [0.5, 0.6],
+              "test_loss_mean": 0.55}
+        gj = {"mse_mean": [10.0, 20.0, 30.0, 40.0], "test_losses": [5.0, 7.0],
+              "test_loss_mean": 6.0}
+        ev = mod.two_sided_checks(gr, gj)
+        assert not ev["checks"]["band"] and not ev["checks"]["upper"]
+        # two-sided: 10x BETTER fails the same checks except upper
+        ev2 = mod.two_sided_checks(gj, gr)
+        assert not ev2["checks"]["band"] and ev2["checks"]["upper"]
+
+    def test_tail_spike_fails_tail_with_clean_head(self):
+        mod = _load_parity_e2e()
+        gr = {"mse_mean": [1.0] * 12, "test_losses": [1.0, 1.0],
+              "test_loss_mean": 1.0}
+        gj = {"mse_mean": [1.0] * 8 + [40.0] * 4, "test_losses": [1.0, 1.1],
+              "test_loss_mean": 1.05}
+        ev = mod.two_sided_checks(gr, gj)
+        assert not ev["checks"]["tail"]
+        assert ev["sig_stats"]["head_geo"] < 1.5
+        assert ev["sig_stats"]["tail_worst"] > 3.0
 
 
 def _load_bench():
