@@ -12,6 +12,9 @@ protocol.
 Usage:
   python scripts/protocol_compare.py --short results/base --ref results/base_ref
   python scripts/protocol_compare.py --short results/pro  --ref results/pro_ref
+
+compare_table() is the importable core (scripts/make_report.py reuses it so
+docs/REPORT.md and RESULTS.md render from one implementation).
 """
 
 import argparse
@@ -24,21 +27,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from nonode_tpu.analysis.ledger import load_ledger_groups, mean_std  # noqa: E402
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--short", type=Path, required=True,
-                    help="300-epoch ledger dir")
-    ap.add_argument("--ref", type=Path, required=True,
-                    help="reference-protocol ledger dir")
-    args = ap.parse_args()
-
-    short, ref = load_ledger_groups(args.short), load_ledger_groups(args.ref)
+def compare_table(short_dir, ref_dir):
+    """Markdown-table lines + the unconverged-cell tally sentence."""
+    short, ref = load_ledger_groups(short_dir), load_ledger_groups(ref_dir)
     keys = sorted(ref)  # the ref rerun defines the rows (PRO_HEADLINE subset)
 
-    print("| model | dataset | N | inputs | varDT | best val «300ep» | "
-          "best val «ref» | Δ | best_epoch «ref» (med [min-max]) | "
-          "loss@20f «ref» (med) | finite@20f |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    lines = [
+        "| model | dataset | N | inputs | varDT | best val «300ep» | "
+        "best val «ref» | Δ | best_epoch «ref» (med [min-max]) | "
+        "loss@20f «ref» (med) | finite@20f |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
     n_late = n_cells = 0
     for key in keys:
         g_ref = ref[key]
@@ -69,15 +68,30 @@ def main():
         if g_short and fin.any():
             vs = np.mean([x["val"] for x in g_short])
             delta = f"{(np.mean(vals_ref[fin]) - vs) / vs * 100:+.0f}%"
-        print(f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
-              f"| {mean_std([x['val'] for x in g_short]) if g_short else '—'} "
-              f"| {val_txt} | {delta} "
-              f"| {int(np.median(ep_fin))} [{int(ep_fin.min())}-"
-              f"{int(ep_fin.max())}] "
-              f"| {np.nanmedian(h20s):.3g} | {np.nanmean(ff20s):.2f} |")
-    print(f"\n{n_late}/{n_cells} reference-protocol cells reached their best "
-          f"validation at epoch ≥ 300, i.e. were structurally unconverged "
-          f"under the 300-epoch truncation.")
+        lines.append(
+            f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
+            f"| {mean_std([x['val'] for x in g_short]) if g_short else '—'} "
+            f"| {val_txt} | {delta} "
+            f"| {int(np.median(ep_fin))} [{int(ep_fin.min())}-"
+            f"{int(ep_fin.max())}] "
+            f"| {np.nanmedian(h20s):.3g} | {np.nanmean(ff20s):.2f} |")
+    tally = (f"{n_late}/{n_cells} reference-protocol cells reached their "
+             f"best validation at epoch ≥ 300, i.e. were structurally "
+             f"unconverged under the 300-epoch truncation.")
+    return lines, tally
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--short", type=Path, required=True,
+                    help="300-epoch ledger dir")
+    ap.add_argument("--ref", type=Path, required=True,
+                    help="reference-protocol ledger dir")
+    args = ap.parse_args()
+
+    lines, tally = compare_table(args.short, args.ref)
+    print("\n".join(lines))
+    print(f"\n{tally}")
 
 
 if __name__ == "__main__":
