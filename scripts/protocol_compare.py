@@ -24,12 +24,14 @@ import sys
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from nonode_tpu.analysis.ledger import load_ledger_groups, mean_std  # noqa: E402
+from nonode_tpu.analysis.ledger import (  # noqa: E402
+    load_companions, load_ledger_groups, mean_std)
 
 
 def compare_table(short_dir, ref_dir):
     """Markdown-table lines + the unconverged-cell tally sentence."""
     short, ref = load_ledger_groups(short_dir), load_ledger_groups(ref_dir)
+    _, group_snap = load_companions(ref_dir)
     keys = sorted(ref)  # the ref rerun defines the rows (PRO_HEADLINE subset)
 
     lines = [
@@ -68,13 +70,25 @@ def compare_table(short_dir, ref_dir):
         if g_short and fin.any():
             vs = np.mean([x["val"] for x in g_short])
             delta = f"{(np.mean(vals_ref[fin]) - vs) / vs * 100:+.0f}%"
+        # companion columns: per-seed values (live artifact or committed
+        # per-seed snapshot); when the whole group predates any per-seed
+        # snapshot (reset-wiped artifacts), fall back to the committed
+        # group-level transcription of the previously-published aggregate
+        h20_txt = f"{np.nanmedian(h20s):.3g}" if np.isfinite(h20s).any() \
+            else "nan"
+        ff20_txt = f"{np.nanmean(ff20s):.2f}" if np.isfinite(ff20s).any() \
+            else "nan"
+        if not np.isfinite(h20s).any() and key in group_snap:
+            g = group_snap[key]
+            h20_txt = f"{g['h20_med']:.3g}"
+            ff20_txt = f"{g['ff20_mean']:.2f}"
         lines.append(
             f"| {m} | {dataset} | {n} | {ni} | {'T' if vdt else 'F'} "
             f"| {mean_std([x['val'] for x in g_short]) if g_short else '—'} "
             f"| {val_txt} | {delta} "
             f"| {int(np.median(ep_fin))} [{int(ep_fin.min())}-"
             f"{int(ep_fin.max())}] "
-            f"| {np.nanmedian(h20s):.3g} | {np.nanmean(ff20s):.2f} |")
+            f"| {h20_txt} | {ff20_txt} |")
     tally = (f"{n_late}/{n_cells} reference-protocol cells reached their "
              f"best validation at epoch ≥ 300, i.e. were structurally "
              f"unconverged under the 300-epoch truncation.")

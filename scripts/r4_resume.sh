@@ -1,4 +1,8 @@
 #!/bin/bash
+# SUPERSEDED (round 5): the PRO grid completed and this chain is dead — do
+# NOT relaunch (HANDOFF.md). Kept for provenance; the live chain is
+# scripts/r5_chain.sh. The ADVICE round-4 items (charged-5 gen, atomic
+# ledger rewrite, missing-ledger guard default) are fixed below.
 # Round-4 resume chain after a machine restart: probe the chip (wedge-safe
 # holds per the verify-skill runbook), then resume the PRO grid at the
 # reference protocol from its ledger, then run the tail headline-cell regen.

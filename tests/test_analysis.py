@@ -546,3 +546,104 @@ class TestLedgerDedupe:
         (key,) = groups.keys()
         assert len(groups[key]) == 2, "inherited row double-counted"
         assert sorted(x["val"] for x in groups[key]) == [0.5, 0.7]
+
+
+class TestCompanionSnapshot:
+    """scripts/companion_snapshot.py + the ledger/compare fallbacks: the
+    rollout artifacts behind the loss@20f / finite@20f columns are
+    gitignored and machine resets have wiped them twice (round 4: 18
+    cells; round 5: the whole tree), so the companions must survive in a
+    committed snapshot the loaders fall back to."""
+
+    @staticmethod
+    def _snapshot_module():
+        import importlib.util
+        from pathlib import Path
+        spec = importlib.util.spec_from_file_location(
+            "companion_snapshot",
+            Path(__file__).resolve().parent.parent
+            / "scripts" / "companion_snapshot.py")
+        cs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(cs)
+        return cs
+
+    @staticmethod
+    def _write_cell(outf, seed=1, accurate_entries=20):
+        from nonode_tpu.analysis.registry import artifact_stem
+        art_dir = outf / "_exp_new"
+        art_dir.mkdir(parents=True, exist_ok=True)
+        cfg = {"exp_name": "_exp_new", "dataset": "charged",
+               "model": "egno", "n_balls": 5, "num_inputs": 1,
+               "varDT": False, "seed": seed}
+        with open(outf / "sweep_TEST.jsonl", "a") as f:
+            f.write(json.dumps({
+                "config_id": f"seed={seed}", "config": cfg,
+                "test_loss": 1.0, "best_val_loss": 0.01,
+                "best_epoch": 5}) + "\n")
+        targets = np.zeros((4, 24, 5, 3), np.float32)
+        preds = np.ones((4, 24, 5, 3), np.float32)
+        preds[:, accurate_entries:] = 100.0
+        stem = artifact_stem("egno", "charged", seed, 5)
+        path = art_dir / f"{stem}_results.npz"
+        np.savez(path, targets=targets, preds=preds, test_loss=1.0,
+                 finite_fraction=0.75, test_loss_finite=0.5)
+        return path
+
+    def test_seed_fallback_survives_artifact_wipe(self, tmp_path):
+        from nonode_tpu.analysis.ledger import load_ledger_groups
+        cs = self._snapshot_module()
+        art = self._write_cell(tmp_path)
+        live = load_ledger_groups(tmp_path)[
+            ("egno", "charged", 5, 1, False)][0]
+        fresh, total = cs.snapshot(tmp_path)
+        assert (fresh, total) == (1, 1)
+        art.unlink()  # the reset
+        snap = load_ledger_groups(tmp_path)[
+            ("egno", "charged", 5, 1, False)][0]
+        for k in ("ff", "tlf", "h20", "ff20"):
+            assert np.isclose(snap[k], live[k]), (k, snap[k], live[k])
+
+    def test_snapshot_merge_keeps_wiped_entries(self, tmp_path):
+        """Re-snapshotting after a wipe must not erase the previously
+        recorded rows (merge, not overwrite)."""
+        cs = self._snapshot_module()
+        art = self._write_cell(tmp_path, seed=1)
+        cs.snapshot(tmp_path)
+        art.unlink()
+        self._write_cell(tmp_path, seed=2)
+        fresh, total = cs.snapshot(tmp_path)
+        assert (fresh, total) == (1, 2)
+        rows = [json.loads(l) for l in
+                (tmp_path / "companions.jsonl").read_text().splitlines()]
+        assert {r["config_id"] for r in rows} == {"seed=1", "seed=2"}
+
+    def test_group_fallback_in_compare_table(self, tmp_path):
+        """compare_table consumes a transcribed group row ONLY when every
+        per-seed companion in the group is NaN (artifacts and seed
+        snapshot both gone); live per-seed values always win."""
+        import importlib.util
+        from pathlib import Path
+        spec = importlib.util.spec_from_file_location(
+            "protocol_compare",
+            Path(__file__).resolve().parent.parent
+            / "scripts" / "protocol_compare.py")
+        pc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pc)
+
+        ref = tmp_path / "ref"
+        self._write_cell(ref)
+        group_row = {"kind": "group",
+                     "key": ["egno", "charged", 5, 1, False],
+                     "h20_med": 7.77, "ff20_mean": 0.12,
+                     "provenance": "test"}
+        (ref / "companions.jsonl").write_text(json.dumps(group_row) + "\n")
+        # live artifact present -> per-seed values win over the group row
+        lines, _ = pc.compare_table(tmp_path / "none", ref)
+        row = [ln for ln in lines if ln.startswith("| egno")][0]
+        assert "7.77" not in row and "| 1.00 |" in row
+        # artifact wiped, no seed snapshot -> group transcription used
+        for art in (ref / "_exp_new").glob("*_results.npz"):
+            art.unlink()
+        lines, _ = pc.compare_table(tmp_path / "none", ref)
+        row = [ln for ln in lines if ln.startswith("| egno")][0]
+        assert "7.77" in row and "0.12" in row
