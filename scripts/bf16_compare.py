@@ -32,11 +32,64 @@ def fp32_band(ledger, model):
     return rows
 
 
+def c20_summary(ledger):
+    """Markdown block for the charged-20/B=512 shape-gap ledger
+    (scripts/r5_c20_quality.py: flat rows, one per (precision, seed), BOTH
+    precisions freshly trained at the reference protocol — the shape the
+    2.1x throughput row is measured at)."""
+    rows = [json.loads(l) for l in Path(ledger).read_text().splitlines()]
+    by = {}
+    for r in rows:
+        by.setdefault(r["precision"], []).append(r)
+    lines = ["| precision | best val (mean±std) | per-seed best val "
+             "| best_epoch (med) | finite frac | wall_s (mean) |",
+             "|---|---|---|---|---|---|"]
+    means = {}
+    for prec in ("fp32", "bf16"):
+        rs = sorted(by.get(prec, []), key=lambda r: r["seed"])
+        if not rs:
+            lines.append(f"| {prec} | _no rows yet_ | | | | |")
+            continue
+        bv = [r["best_val_loss"] for r in rs]
+        fin = [x for x in bv if math.isfinite(x)]
+        means[prec] = statistics.mean(fin) if fin else float("nan")
+        sd = statistics.stdev(fin) if len(fin) > 1 else 0.0
+        epochs = sorted(r["best_epoch"] for r in rs)
+        ff = [r["finite_fraction"] for r in rs]
+        wall = statistics.mean(r["wall_s"] for r in rs)
+        lines.append(
+            f"| {prec} | {means[prec]:.4f} ± {sd:.4f} | "
+            + ", ".join("NaN" if not math.isfinite(x) else f"{x:.4f}"
+                        for x in bv)
+            + f" | {epochs[len(epochs) // 2]} | "
+            + ", ".join(f"{x:.2f}" for x in ff)
+            + f" | {wall:.0f} |")
+    print("\n".join(lines))
+    if "fp32" in means and "bf16" in means:
+        fp32_vals = [r["best_val_loss"] for r in by["fp32"]
+                     if math.isfinite(r["best_val_loss"])]
+        bf16_vals = [r["best_val_loss"] for r in by["bf16"]
+                     if math.isfinite(r["best_val_loss"])]
+        in_band = sum(min(fp32_vals) <= x <= max(fp32_vals)
+                      for x in bf16_vals)
+        print(f"\nbf16/fp32 best-val mean ratio {means['bf16'] / means['fp32']:.3f}; "
+              f"{in_band}/{len(bf16_vals)} bf16 seeds inside the fp32 "
+              f"min-max band; NaN seeds fp32:"
+              f"{len(by['fp32']) - len(fp32_vals)} bf16:"
+              f"{len(by['bf16']) - len(bf16_vals)}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", default=ROOT / "results/bf16_quality/ledger.jsonl")
     ap.add_argument("--fp32", default=ROOT / "results/base_ref/sweep_BASE.jsonl")
+    ap.add_argument("--c20", action="store_true",
+                    help="summarize the charged-20/B=512 shape-gap ledger "
+                    "(results/bf16_quality/ledger_c20.jsonl) instead")
     args = ap.parse_args()
+    if args.c20:
+        c20_summary(ROOT / "results/bf16_quality/ledger_c20.jsonl")
+        return
 
     bf16_rows = [json.loads(l) for l in Path(args.bf16).read_text().splitlines()]
     lines = []
