@@ -55,8 +55,10 @@ def section_grids():
              "numbers are ledger-backed (`results/{base_ref,pro_ref}/"
              "sweep_*.jsonl`, resumable wedge-surviving chains); `loss@20f`/"
              "`finite@20f` are the bound-invariant 20-frame rollout "
-             "companions (divergence-bound sensitivity swept 3×–30×, "
-             "`results/bound_sensitivity.json`).", ""]
+             "companions (divergence-bound sensitivity swept 3×–30× at two "
+             "snapshots, `results/bound_sensitivity{,_r5}.json`; companions "
+             "survive artifact wipes via the committed per-seed/group "
+             "snapshots `results/*/companions.jsonl`).", ""]
     for name, short, ref in (("BASE (60 cells, 5 seeds)",
                               "results/base", "results/base_ref"),
                              ("PRO (96 cells, 3 seeds)",
