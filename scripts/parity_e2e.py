@@ -567,12 +567,17 @@ def main():
 
     figdir = REPO / "docs" / "figures"
     figdir.mkdir(parents=True, exist_ok=True)
+    # PRO-cell anchors (num_inputs>1 / varDT) get their own figure names —
+    # the default stem is owned by the committed BASE anchors, which a
+    # re-run at a different cell must not clobber
+    cell = (f"_in{cfg.num_inputs}" if cfg.num_inputs > 1 else "") + \
+        ("_varT" if cfg.varDT else "")
     fig_paths = []
     for model in cfg.models:
         gr, gj = groups[("ref", model)], groups[("jax", model)]
         for metric, ylabel in [("mse", "MSE"), ("energy_drift",
                                                 "mean squared energy drift")]:
-            p = figdir / f"parity_e2e_{cfg.dataset}_{model}_{metric}.png"
+            p = figdir / f"parity_e2e_{cfg.dataset}{cell}_{model}_{metric}.png"
             plot_multiple_curves(
                 {"reference (torch)": (gr[f"{metric}_mean"], gr[f"{metric}_std"]),
                  "nonode_tpu": (gj[f"{metric}_mean"], gj[f"{metric}_std"])},
