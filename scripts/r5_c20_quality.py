@@ -25,6 +25,12 @@ from pathlib import Path
 
 import numpy as np
 
+# Line-buffer stdout under nohup: at B=512 the driver's per-epoch prints
+# otherwise sit in an 8 KB block buffer for >15 min, so the stall killer's
+# log-growth test is permanently failed and only the CPU-rate test
+# separates a healthy run from a wedge.
+sys.stdout.reconfigure(line_buffering=True)
+
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
