@@ -67,6 +67,15 @@ def get_args(argv=None):
     parser.add_argument("--outf", type=Path, default="results")
     parser.add_argument("--remat", action="store_true",
                         help="gradient rematerialization (large N / big fleets)")
+    parser.add_argument("--no_hbm_guard", action="store_true",
+                        help="keep the requested batch size even when the "
+                        "K*B*N^2 pressure heuristic would scale it down. "
+                        "The guard's empirical OOM points are 3-seed "
+                        "fleets whose K axis pads the (8,128) tiling; a "
+                        "K=1 charged-20 fleet at B=512 is the same program "
+                        "the sequential driver and the bench roofline run "
+                        "in-memory fine. Use for exact-shape quality runs "
+                        "(scripts/r5_c20_quality.py).")
     parser.add_argument("--precision", type=str, default="fp32",
                         choices=["fp32", "bf16"],
                         help="same semantics as the sequential driver "
@@ -134,6 +143,8 @@ def main(args):
     # empirically: K*B*N^2 of 3*128*400 fits; 5*64*400 does NOT (the (8,128)
     # tiling pads the N=20 dims 2x) — keep a conservative margin
     limit = 2 * 128 * 400
+    if args.no_hbm_guard:
+        limit = float("inf")
     if args.n_balls >= 20 and pressure > limit:
         new_b = max(32, int(args.batch_size * limit / pressure // 32 * 32))
         # remat only exists on the EGNO experiment (per-layer

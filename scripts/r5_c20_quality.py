@@ -7,14 +7,27 @@ the FULL reference protocol (epochs <= 1000, patience 15,
 /root/reference/main.py:37-45) under BOTH precisions — the fp32 band and
 the bf16 candidate at the exact shape the speed claim is made for — into
 the resumable ledger results/bf16_quality/ledger_c20.jsonl (one row per
-seed, same artifact-backed fields as the charged-5 ledger).
+(precision, seed)).
 
-Sequential driver (not fleet): a 3-seed N=20 fleet trips the HBM guard
-down to B=32+remat, which would validate quality at a different batch
-than the B=512 claim. Sequential runs hold B=512 on one chip.
+Each run is a K=1 FLEET (nonode_tpu.fleet_main) rather than the
+sequential driver: the axon tunnel wedged the sequential B=512 client
+twice ~20 min into training on 2026-08-21, and the sequential path has no
+mid-run resume — every retry restarted at epoch 0, so a recurring wedge
+could never finish a 1000-epoch run. The fleet path checkpoints full
+train state every 25 epochs and resumes bit-identically (the round-4
+charged-20 BASE group regenerated digit-for-digit through exactly this
+resume). --no_hbm_guard keeps the true B=512 (the K>=3 OOM heuristic
+would scale it to 256+remat; the K=1 program is the same shape the
+sequential driver and the bench roofline run in-memory fine). A K=1
+fleet's train/eval math matches the sequential driver
+(tests/test_driver.py fleet-vs-sequential equivalence).
+
+Rows record wall_s of the completing attempt only; resumed attempts'
+earlier wall time is visible in the chain log (fleet prints cumulative).
 
 Usage: python scripts/r5_c20_quality.py [--seeds 1,2,3] [--precisions fp32,bf16]
-Resumable: rows already in the ledger are skipped.
+Resumable: rows already in the ledger are skipped; killed runs resume
+from the latest fleet checkpoint on the next invocation.
 """
 
 import argparse
@@ -23,10 +36,8 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
-
-# Line-buffer stdout under nohup: at B=512 the driver's per-epoch prints
-# otherwise sit in an 8 KB block buffer for >15 min, so the stall killer's
+# Line-buffer stdout under nohup: at B=512 the per-epoch prints otherwise
+# sit in an 8 KB block buffer for >15 min, so the stall killer's
 # log-growth test is permanently failed and only the CPU-rate test
 # separates a healthy run from a wedge.
 sys.stdout.reconfigure(line_buffering=True)
@@ -50,8 +61,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=512)
     args = ap.parse_args()
 
-    from nonode_tpu.analysis.registry import artifact_stem
-    from nonode_tpu.main import get_args, main as run_main
+    from nonode_tpu.fleet_main import get_args as fleet_args, main as fleet_run
 
     done = done_keys()
     for prec in args.precisions.split(","):
@@ -63,27 +73,25 @@ def main():
             outf = ROOT / "results/bf16_quality" / f"c20_{prec}"
             print(f"=== {key} ===", flush=True)
             t0 = time.time()
-            run_args = get_args([
+            rec = fleet_run(fleet_args([
                 "--model", "egno", "--dataset", "charged", "--n_balls", "20",
-                "--seed", str(seed), "--precision", prec,
+                "--seeds", str(seed), "--precision", prec,
                 "--epochs", "1000", "--batch_size", str(args.batch_size),
-                "--data_dir", str(ROOT / "data"), "--outf", str(outf)])
-            best_val, test_loss, best_epoch = run_main(run_args)
-            stem = artifact_stem("egno", "charged", seed, 20)
-            art = np.load(outf / "0exp_new" / f"{stem}_results.npz",
-                          allow_pickle=True)
+                "--checkpoint_every", "25", "--no_hbm_guard",
+                "--data_dir", str(ROOT / "data"), "--outf", str(outf)]))[0]
             row = {"key": key, "model": "egno", "precision": prec,
                    "seed": seed, "batch_size": args.batch_size,
-                   "best_val_loss": float(best_val),
-                   "best_epoch": int(best_epoch),
-                   "test_loss": float(test_loss),
-                   "finite_fraction": float(art["finite_fraction"]),
-                   "test_loss_finite": float(art["test_loss_finite"]),
+                   "best_val_loss": rec["best_val_loss"],
+                   "best_epoch": rec["best_epoch"],
+                   "test_loss": rec["test_loss"],
+                   "finite_fraction": rec["finite_fraction"],
+                   "test_loss_finite": rec["test_loss_finite"],
                    "wall_s": round(time.time() - t0, 1)}
             LEDGER.parent.mkdir(parents=True, exist_ok=True)
             with open(LEDGER, "a") as f:
                 f.write(json.dumps(row) + "\n")
-            print(f"    best_val {best_val:.5f} best_epoch {best_epoch} "
+            print(f"    best_val {row['best_val_loss']:.5f} "
+                  f"best_epoch {row['best_epoch']} "
                   f"wall {row['wall_s']}s", flush=True)
 
 
