@@ -89,7 +89,7 @@ done
 rows=$(wc -l < "$LEDGER" 2>/dev/null || echo 0)
 [ "$rows" -ge 96 ] || { echo "phase 1 exhausted attempts at $rows/96"; exit 1; }
 python scripts/companion_snapshot.py results/pro_ref
-git add results/pro_ref && git commit -q -m "PRO ledger: retrained nan-companion EGNO-gravity groups; companion snapshot" || true
+git add -f results/pro_ref/sweep_PRO.jsonl results/pro_ref/companions.jsonl && git commit -q -m "PRO ledger: retrained nan-companion EGNO-gravity groups; companion snapshot" || true
 
 # Phase 2: parity-anchor jax side (chip-owning; the CPU torch ref side
 # runs detached in parallel via scripts/r5_parity_ref.sh). Argv mirrors
@@ -117,7 +117,7 @@ for attempt in 1 2 3 4 5 6; do
   echo "=== phase 3: c20 quality (attempt $attempt, $(date)) ==="
   if run_tpu python scripts/r5_c20_quality.py; then
     echo "=== phase 3 done ($(date)) ==="
-    git add results/bf16_quality && git commit -q -m "bf16 shape gap: charged-20/B=512 fp32+bf16 protocol runs" || true
+    git add -f results/bf16_quality/ledger_c20.jsonl && git commit -q -m "bf16 shape gap: charged-20/B=512 fp32+bf16 protocol runs" || true
     break
   fi
   echo "c20 runner died (attempt $attempt); 680 s hold, then probe"
@@ -132,7 +132,7 @@ c20rows=$(wc -l < results/bf16_quality/ledger_c20.jsonl 2>/dev/null || echo 0)
 # busy chip and would replay the stale cache.
 echo "=== phase 4: fresh bench headline ($(date)) ==="
 timeout 1800 python bench.py && \
-  git add results/bench_headline.json && \
+  git add -f results/bench_headline.json && \
   git commit -q -m "bench: fresh headline with bf16 operating-point keys" || \
   echo "phase 4 bench failed (non-fatal; BENCH_r05 will replay the cache)"
 echo "=== chain complete ($(date)) ==="
