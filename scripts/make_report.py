@@ -167,8 +167,13 @@ def section_perf():
     lines = ["## 4. Performance on TPU v5e-1", ""]
     full = _read_json(REPO / "results/bench_full.json") or []
     rows = {r.get("metric"): r for r in full if isinstance(r, dict)}
-    hl = rows.get("egno_train_throughput") or _read_json(
-        REPO / "results/bench_headline.json")
+    # prefer whichever headline record is richer: bench_headline.json is
+    # rewritten by every default bench run and gained the bf16_* keys in
+    # round 5; an older bench_full.json row must not hide them
+    hl_candidates = [rows.get("egno_train_throughput"),
+                     _read_json(REPO / "results/bench_headline.json")]
+    hl_candidates = [h for h in hl_candidates if h]
+    hl = max(hl_candidates, key=lambda h: len(h), default=None)
     if hl:
         extra = (f"; validated bf16 speed mode "
                  f"{hl['bf16_samples_per_s']:,.0f} samples/s"
