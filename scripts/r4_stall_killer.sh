@@ -18,10 +18,17 @@
 # whose log had been frozen 37 min at epoch 5), which reset the original
 # exact-equality check forever and the killer never fired. The wedge test
 # is now a RATE threshold: over the stall window the client must accrue
-# at least WEDGE_JIFFIES (default 150 ≈ 1.5 s CPU per 15 min, i.e. 0.17%
-# CPU) to count as alive; a healthy compile burns orders of magnitude more.
+# at least WEDGE_JIFFIES to count as alive; a healthy compile burns orders
+# of magnitude more.
+#
+# Round-5 field note: a 2026-08-21 wedge trickled ~19 jiffies/min (10x the
+# round-4 signature) — enough to keep re-arming the old 150-jiffy slide
+# anchor forever, so the killer never fired and the client had to be
+# killed by hand. Default raised to 600 (≈ 40 jiffies/min over the 15-min
+# window): healthy B=512 training burns ~900+/min, the fattest observed
+# wedge ~19/min — an order of magnitude of margin on both sides.
 STALL_S=${STALL_S:-900}
-WEDGE_JIFFIES=${WEDGE_JIFFIES:-150}
+WEDGE_JIFFIES=${WEDGE_JIFFIES:-600}
 anchor_cpu=""
 anchor_t=0
 last_pid=""
